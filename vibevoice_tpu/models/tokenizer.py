@@ -1,0 +1,380 @@
+"""σ-VAE acoustic / semantic tokenizers, TPU-native.
+
+Re-designs the reference's TokenizerEncoder / TokenizerDecoder
+(reference modular_vibevoice_tokenizer.py:687-951) as pure functions over
+parameter pytrees in channels-last (B, T, C) layout:
+
+* Batch mode: full-utterance encode/decode for prefill and training.
+* Streaming mode: the reference's ``VibeVoiceTokenizerStreamingCache`` (a dict
+  of per-layer tensors mutated in Python, reference :193-256) becomes a pytree
+  of fixed-shape conv context buffers threaded functionally through the
+  forward pass, so the per-frame vocoder step compiles into one XLA program.
+
+Architecture (encoder; decoder mirrors it):
+  stem SConv1d(k=7) -> [downsample SConv1d(k=2r, s=r) + Block1D stack] x N
+  -> head SConv1d(k=7) -> vae_dim     (reference :730-774)
+Block1D = RMSNorm -> depthwise conv(k=7) -> layer-scale -> residual;
+          RMSNorm -> 4x GELU MLP -> layer-scale -> residual  (reference :620-684)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import AcousticTokenizerConfig, SemanticTokenizerConfig
+from ..ops.conv import (
+    causal_conv1d,
+    causal_conv1d_streaming,
+    conv_context_size,
+    conv_transpose1d,
+    conv_transpose1d_streaming,
+    conv_transpose_context_size,
+)
+from ..ops.norms import rms_norm, layer_norm
+
+Params = Dict
+State = Dict
+
+BLOCK_KERNEL = 7
+STEM_KERNEL = 7
+HEAD_KERNEL = 7
+FFN_EXPANSION = 4
+
+
+# ---------------------------------------------------------------------------
+# Specs: static python descriptions of each conv stack
+# ---------------------------------------------------------------------------
+
+
+def encoder_spec(cfg) -> dict:
+    """Derived static structure of an encoder (reference :694-774).
+
+    Note the encoder uses *reversed* ratios (reference :701)."""
+    depths = tuple(cfg.encoder_depths)
+    ratios = tuple(reversed(cfg.encoder_ratios))
+    nf = cfg.encoder_n_filters
+    dims = tuple(nf * (2**i) for i in range(len(depths)))
+    return dict(
+        depths=depths,
+        ratios=ratios,
+        dims=dims,
+        in_channels=cfg.channels,
+        out_dim=cfg.vae_dim,
+    )
+
+
+def decoder_spec(cfg: AcousticTokenizerConfig) -> dict:
+    """Derived static structure of the decoder (reference :823-912).
+
+    Decoder ratios are NOT reversed; depths arrive already reversed
+    (reference :830-833, :1024-1028)."""
+    depths = tuple(cfg.resolved_decoder_depths)
+    ratios = tuple(cfg.resolved_decoder_ratios)
+    nf = cfg.decoder_n_filters
+    n = len(depths)
+    dims = tuple(nf * (2 ** (n - 1 - i)) for i in range(n))
+    return dict(
+        depths=depths,
+        ratios=ratios,
+        dims=dims,
+        in_channels=cfg.vae_dim,
+        out_dim=cfg.channels,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _init_conv(key, k: int, cin: int, cout: int, std: float, bias: bool, dtype):
+    w = jax.random.normal(key, (k, cin, cout), dtype=jnp.float32) * std
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _init_linear(key, cin: int, cout: int, std: float, bias: bool, dtype):
+    w = jax.random.normal(key, (cin, cout), dtype=jnp.float32) * std
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _init_block(key, dim: int, cfg, dtype) -> Params:
+    ks = jax.random.split(key, 3)
+    std = cfg.weight_init_value
+    gamma0 = cfg.layer_scale_init_value
+    p = {
+        "norm": {"w": jnp.ones((dim,), dtype)},
+        "mixer": _init_conv(ks[0], BLOCK_KERNEL, 1, dim, std, cfg.conv_bias, dtype),
+        "ffn_norm": {"w": jnp.ones((dim,), dtype)},
+        "ffn": {
+            "fc1": _init_linear(ks[1], dim, FFN_EXPANSION * dim, std, cfg.conv_bias, dtype),
+            "fc2": _init_linear(ks[2], FFN_EXPANSION * dim, dim, std, cfg.conv_bias, dtype),
+        },
+    }
+    if gamma0 > 0:
+        p["gamma"] = jnp.full((dim,), gamma0, dtype)
+        p["ffn_gamma"] = jnp.full((dim,), gamma0, dtype)
+    return p
+
+
+def init_encoder(key, cfg, dtype=jnp.float32) -> Params:
+    spec = encoder_spec(cfg)
+    depths, ratios, dims = spec["depths"], spec["ratios"], spec["dims"]
+    std = cfg.weight_init_value
+    n = len(depths)
+    keys = jax.random.split(key, 2 * n + 2)
+    down = [_init_conv(keys[0], STEM_KERNEL, spec["in_channels"], dims[0], std, cfg.conv_bias, dtype)]
+    for i in range(n - 1):
+        down.append(
+            _init_conv(keys[1 + i], ratios[i] * 2, dims[i], dims[i + 1], std, cfg.conv_bias, dtype)
+        )
+    stages = []
+    for i in range(n):
+        bkeys = jax.random.split(keys[n + i], depths[i])
+        stages.append([_init_block(bk, dims[i], cfg, dtype) for bk in bkeys])
+    p = {"down": down, "stages": stages,
+         "head": _init_conv(keys[-1], HEAD_KERNEL, dims[-1], spec["out_dim"], std, cfg.conv_bias, dtype)}
+    if not cfg.disable_last_norm:
+        p["final_norm"] = {"w": jnp.ones((dims[-1],), dtype)}
+    return p
+
+
+def init_decoder(key, cfg: AcousticTokenizerConfig, dtype=jnp.float32) -> Params:
+    spec = decoder_spec(cfg)
+    depths, ratios, dims = spec["depths"], spec["ratios"], spec["dims"]
+    std = cfg.weight_init_value
+    n = len(depths)
+    keys = jax.random.split(key, 2 * n + 2)
+    up = [_init_conv(keys[0], STEM_KERNEL, spec["in_channels"], dims[0], std, cfg.conv_bias, dtype)]
+    for i in range(n - 1):
+        up.append(
+            _init_conv(keys[1 + i], ratios[i] * 2, dims[i], dims[i + 1], std, cfg.conv_bias, dtype)
+        )
+    stages = []
+    for i in range(n):
+        bkeys = jax.random.split(keys[n + i], depths[i])
+        stages.append([_init_block(bk, dims[i], cfg, dtype) for bk in bkeys])
+    p = {"up": up, "stages": stages,
+         "head": _init_conv(keys[-1], HEAD_KERNEL, dims[-1], spec["out_dim"], std, cfg.conv_bias, dtype)}
+    if not cfg.disable_last_norm:
+        p["final_norm"] = {"w": jnp.ones((dims[-1],), dtype)}
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Streaming state
+# ---------------------------------------------------------------------------
+
+
+def init_encoder_state(cfg, batch: int, dtype=jnp.float32) -> State:
+    spec = encoder_spec(cfg)
+    depths, ratios, dims = spec["depths"], spec["ratios"], spec["dims"]
+    n = len(depths)
+    st: State = {}
+    st["down0"] = jnp.zeros((batch, conv_context_size(STEM_KERNEL), spec["in_channels"]), dtype)
+    for i in range(n - 1):
+        ctx = conv_context_size(ratios[i] * 2, ratios[i])
+        st[f"down{i + 1}"] = jnp.zeros((batch, ctx, dims[i]), dtype)
+    for i in range(n):
+        for j in range(depths[i]):
+            st[f"s{i}_{j}"] = jnp.zeros((batch, conv_context_size(BLOCK_KERNEL), dims[i]), dtype)
+    st["head"] = jnp.zeros((batch, conv_context_size(HEAD_KERNEL), dims[-1]), dtype)
+    return st
+
+
+def init_decoder_state(cfg: AcousticTokenizerConfig, batch: int, dtype=jnp.float32) -> State:
+    spec = decoder_spec(cfg)
+    depths, ratios, dims = spec["depths"], spec["ratios"], spec["dims"]
+    n = len(depths)
+    st: State = {}
+    st["up0"] = jnp.zeros((batch, conv_context_size(STEM_KERNEL), spec["in_channels"]), dtype)
+    for i in range(n - 1):
+        ctx = conv_transpose_context_size(ratios[i] * 2)
+        st[f"up{i + 1}"] = jnp.zeros((batch, ctx, dims[i]), dtype)
+    for i in range(n):
+        for j in range(depths[i]):
+            st[f"s{i}_{j}"] = jnp.zeros((batch, conv_context_size(BLOCK_KERNEL), dims[i]), dtype)
+    st["head"] = jnp.zeros((batch, conv_context_size(HEAD_KERNEL), dims[-1]), dtype)
+    return st
+
+
+def reset_state(state: State, sample_mask: jnp.ndarray) -> State:
+    """Zero the context buffers of samples where ``sample_mask`` is True —
+    functional equivalent of the reference cache's ``set_to_zero`` on
+    ``speech_end`` (reference :234-241, modeling_vibevoice_inference.py:542-546).
+    """
+    m = sample_mask.reshape(-1, 1, 1)
+    return {k: jnp.where(m, jnp.zeros_like(v), v) for k, v in state.items()}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _norm_apply(p: Params, x: jnp.ndarray, cfg) -> jnp.ndarray:
+    if cfg.layernorm == "RMSNorm":
+        return rms_norm(x, p.get("w"), cfg.layernorm_eps)
+    return layer_norm(x, p.get("w"), p.get("b"), cfg.layernorm_eps)
+
+
+def _block_apply(p: Params, x: jnp.ndarray, cfg, state: Optional[jnp.ndarray]):
+    """Block1D forward (reference :665-684). Returns (x, new_conv_state)."""
+    dim = x.shape[-1]
+    res = x
+    h = _norm_apply(p["norm"], x, cfg)
+    if state is None:
+        h = causal_conv1d(h, p["mixer"]["w"], p["mixer"].get("b"), groups=dim, pad_mode=cfg.pad_mode)
+        new_state = None
+    else:
+        h, new_state = causal_conv1d_streaming(h, state, p["mixer"]["w"], p["mixer"].get("b"), groups=dim)
+    if "gamma" in p:
+        h = h * p["gamma"].astype(h.dtype)
+    x = res + h
+
+    res = x
+    h = _norm_apply(p["ffn_norm"], x, cfg)
+    f = p["ffn"]
+    h = jnp.dot(h, f["fc1"]["w"].astype(h.dtype))
+    if "b" in f["fc1"]:
+        h = h + f["fc1"]["b"].astype(h.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.dot(h, f["fc2"]["w"].astype(h.dtype))
+    if "b" in f["fc2"]:
+        h = h + f["fc2"]["b"].astype(h.dtype)
+    if "ffn_gamma" in p:
+        h = h * p["ffn_gamma"].astype(h.dtype)
+    return res + h, new_state
+
+
+def encoder_apply(
+    cfg,
+    params: Params,
+    x: jnp.ndarray,
+    state: Optional[State] = None,
+) -> Tuple[jnp.ndarray, Optional[State]]:
+    """Audio (B, T, channels) -> latents (B, T // hop, vae_dim).
+
+    If ``state`` is given, runs in streaming mode and returns the new state.
+    """
+    spec = encoder_spec(cfg)
+    depths, ratios = spec["depths"], spec["ratios"]
+    n = len(depths)
+    new_state: State = {}
+    for i in range(n):
+        dp = params["down"][i]
+        if i == 0:
+            k, s = STEM_KERNEL, 1
+        else:
+            k, s = ratios[i - 1] * 2, ratios[i - 1]
+        if state is None:
+            x = causal_conv1d(x, dp["w"], dp.get("b"), stride=s, pad_mode=cfg.pad_mode)
+        else:
+            x, new_state[f"down{i}"] = causal_conv1d_streaming(
+                x, state[f"down{i}"], dp["w"], dp.get("b"), stride=s
+            )
+        for j in range(depths[i]):
+            bstate = None if state is None else state[f"s{i}_{j}"]
+            x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)
+            if state is not None:
+                new_state[f"s{i}_{j}"] = bs
+    if "final_norm" in params:
+        x = _norm_apply(params["final_norm"], x, cfg)
+    hp = params["head"]
+    if state is None:
+        x = causal_conv1d(x, hp["w"], hp.get("b"), pad_mode=cfg.pad_mode)
+        return x, None
+    x, new_state["head"] = causal_conv1d_streaming(x, state["head"], hp["w"], hp.get("b"))
+    return x, new_state
+
+
+def decoder_apply(
+    cfg: AcousticTokenizerConfig,
+    params: Params,
+    x: jnp.ndarray,
+    state: Optional[State] = None,
+) -> Tuple[jnp.ndarray, Optional[State]]:
+    """Latents (B, T, vae_dim) -> audio (B, T * hop, channels)."""
+    spec = decoder_spec(cfg)
+    depths, ratios = spec["depths"], spec["ratios"]
+    n = len(depths)
+    new_state: State = {}
+    for i in range(n):
+        up = params["up"][i]
+        if i == 0:
+            if state is None:
+                x = causal_conv1d(x, up["w"], up.get("b"), pad_mode=cfg.pad_mode)
+            else:
+                x, new_state["up0"] = causal_conv1d_streaming(x, state["up0"], up["w"], up.get("b"))
+        else:
+            s = ratios[i - 1]
+            if state is None:
+                x = conv_transpose1d(x, up["w"], up.get("b"), stride=s, causal=cfg.causal)
+            else:
+                x, new_state[f"up{i}"] = conv_transpose1d_streaming(
+                    x, state[f"up{i}"], up["w"], up.get("b"), stride=s
+                )
+        for j in range(depths[i]):
+            bstate = None if state is None else state[f"s{i}_{j}"]
+            x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)
+            if state is not None:
+                new_state[f"s{i}_{j}"] = bs
+    if "final_norm" in params:
+        x = _norm_apply(params["final_norm"], x, cfg)
+    hp = params["head"]
+    if state is None:
+        x = causal_conv1d(x, hp["w"], hp.get("b"), pad_mode=cfg.pad_mode)
+        return x, None
+    x, new_state["head"] = causal_conv1d_streaming(x, state["head"], hp["w"], hp.get("b"))
+    return x, new_state
+
+
+# ---------------------------------------------------------------------------
+# VAE wrappers
+# ---------------------------------------------------------------------------
+
+
+def init_acoustic_tokenizer(key, cfg: AcousticTokenizerConfig, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"encoder": init_encoder(k1, cfg, dtype), "decoder": init_decoder(k2, cfg, dtype)}
+
+
+def init_semantic_tokenizer(key, cfg: SemanticTokenizerConfig, dtype=jnp.float32) -> Params:
+    return {"encoder": init_encoder(key, cfg, dtype)}
+
+
+def encode(cfg, params: Params, audio: jnp.ndarray, state: Optional[State] = None):
+    """Returns (mean latents (B, T', D), new_state). ``audio`` is (B, T, channels)."""
+    return encoder_apply(cfg, params["encoder"], audio, state)
+
+
+def decode(cfg, params: Params, latents: jnp.ndarray, state: Optional[State] = None):
+    """Returns (audio (B, T*hop, channels), new_state)."""
+    return decoder_apply(cfg, params["decoder"], latents, state)
+
+
+def sample_latents(key, mean: jnp.ndarray, fix_std: float, dist_type: str) -> jnp.ndarray:
+    """Sample from the σ-VAE posterior (reference :966-991).
+
+    'fix': mean + fix_std * eps.
+    'gaussian': per-sample std drawn as randn * (fix_std / 0.8).
+    'none': mean.
+    """
+    if dist_type == "none":
+        return mean
+    if dist_type == "fix":
+        return mean + fix_std * jax.random.normal(key, mean.shape, mean.dtype)
+    if dist_type == "gaussian":
+        k1, k2 = jax.random.split(key)
+        b = mean.shape[0]
+        std = jax.random.normal(k1, (b,) + (1,) * (mean.ndim - 1), mean.dtype) * (fix_std / 0.8)
+        return mean + std * jax.random.normal(k2, mean.shape, mean.dtype)
+    raise ValueError(f"unknown dist_type {dist_type}")

@@ -1,0 +1,198 @@
+"""Convert reference PyTorch state dicts into this framework's parameter pytrees.
+
+Layout conventions (see ops/conv.py):
+  conv weight:            torch (C_out, C_in/g, k)  ->  TIO (k, C_in/g, C_out)
+  conv-transpose weight:  torch (C_in, C_out, k)    ->  pre-flipped TIO
+                          w[t, i, o] = torch_w[i, o, k-1-t]
+  linear weight:          torch (out, in)           ->  (in, out)
+
+State-dict key paths follow the reference module tree
+(reference modular_vibevoice_tokenizer.py:687-951, modeling_vibevoice.py:58-135,
+modular_vibevoice_diffusion_head.py:191-280).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def conv_w(x) -> jnp.ndarray:
+    return jnp.asarray(_np(x).transpose(2, 1, 0))
+
+
+def convtr_w(x) -> jnp.ndarray:
+    w = _np(x).transpose(2, 0, 1)  # (k, C_in, C_out)
+    return jnp.asarray(w[::-1].copy())
+
+
+def linear_w(x) -> jnp.ndarray:
+    return jnp.asarray(_np(x).T)
+
+
+def vec(x) -> jnp.ndarray:
+    return jnp.asarray(_np(x))
+
+
+def _conv_params(sd: Dict, prefix: str, transposed: bool = False) -> Dict:
+    w = convtr_w(sd[prefix + ".weight"]) if transposed else conv_w(sd[prefix + ".weight"])
+    p = {"w": w}
+    if prefix + ".bias" in sd:
+        p["b"] = vec(sd[prefix + ".bias"])
+    return p
+
+
+def _linear_params(sd: Dict, prefix: str) -> Dict:
+    p = {"w": linear_w(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        p["b"] = vec(sd[prefix + ".bias"])
+    return p
+
+
+def _block_params(sd: Dict, prefix: str) -> Dict:
+    p = {
+        "norm": {"w": vec(sd[f"{prefix}.norm.weight"])},
+        "mixer": _conv_params(sd, f"{prefix}.mixer.conv.conv.conv"),
+        "ffn_norm": {"w": vec(sd[f"{prefix}.ffn_norm.weight"])},
+        "ffn": {
+            "fc1": _linear_params(sd, f"{prefix}.ffn.linear1"),
+            "fc2": _linear_params(sd, f"{prefix}.ffn.linear2"),
+        },
+    }
+    if f"{prefix}.gamma" in sd:
+        p["gamma"] = vec(sd[f"{prefix}.gamma"])
+        p["ffn_gamma"] = vec(sd[f"{prefix}.ffn_gamma"])
+    return p
+
+
+def convert_encoder(sd: Dict, cfg, prefix: str = "encoder") -> Dict:
+    """TokenizerEncoder state dict -> encoder params pytree."""
+    depths = tuple(cfg.encoder_depths)
+    n = len(depths)
+    down = [_conv_params(sd, f"{prefix}.downsample_layers.{i}.0.conv.conv") for i in range(n)]
+    stages = [
+        [_block_params(sd, f"{prefix}.stages.{i}.{j}") for j in range(depths[i])]
+        for i in range(n)
+    ]
+    p = {
+        "down": down,
+        "stages": stages,
+        "head": _conv_params(sd, f"{prefix}.head.conv.conv"),
+    }
+    if f"{prefix}.norm.weight" in sd:
+        p["final_norm"] = {"w": vec(sd[f"{prefix}.norm.weight"])}
+    return p
+
+
+def convert_decoder(sd: Dict, cfg, prefix: str = "decoder") -> Dict:
+    """TokenizerDecoder state dict -> decoder params pytree."""
+    depths = tuple(cfg.resolved_decoder_depths)
+    n = len(depths)
+    up = [_conv_params(sd, f"{prefix}.upsample_layers.0.0.conv.conv")]
+    for i in range(1, n):
+        up.append(_conv_params(sd, f"{prefix}.upsample_layers.{i}.0.convtr.convtr", transposed=True))
+    stages = [
+        [_block_params(sd, f"{prefix}.stages.{i}.{j}") for j in range(depths[i])]
+        for i in range(n)
+    ]
+    p = {
+        "up": up,
+        "stages": stages,
+        "head": _conv_params(sd, f"{prefix}.head.conv.conv"),
+    }
+    if f"{prefix}.norm.weight" in sd:
+        p["final_norm"] = {"w": vec(sd[f"{prefix}.norm.weight"])}
+    return p
+
+
+def convert_acoustic_tokenizer(sd: Dict, cfg, prefix: str = "") -> Dict:
+    pre = prefix + "." if prefix else ""
+    return {
+        "encoder": convert_encoder(sd, cfg, pre + "encoder"),
+        "decoder": convert_decoder(sd, cfg, pre + "decoder"),
+    }
+
+
+def convert_semantic_tokenizer(sd: Dict, cfg, prefix: str = "") -> Dict:
+    pre = prefix + "." if prefix else ""
+    return {"encoder": convert_encoder(sd, cfg, pre + "encoder")}
+
+
+def convert_diffusion_head(sd: Dict, cfg, prefix: str = "") -> Dict:
+    """VibeVoiceDiffusionHead state dict -> params pytree
+    (reference modular_vibevoice_diffusion_head.py:191-280)."""
+    pre = prefix + "." if prefix else ""
+    layers = []
+    for i in range(cfg.head_layers):
+        lp = f"{pre}layers.{i}"
+        layers.append(
+            {
+                "norm": {"w": vec(sd[f"{lp}.norm.weight"])},
+                "adaln": _linear_params(sd, f"{lp}.adaLN_modulation.1"),
+                "ffn": {
+                    "gate": _linear_params(sd, f"{lp}.ffn.gate_proj"),
+                    "up": _linear_params(sd, f"{lp}.ffn.up_proj"),
+                    "down": _linear_params(sd, f"{lp}.ffn.down_proj"),
+                },
+            }
+        )
+    return {
+        "noisy_proj": _linear_params(sd, f"{pre}noisy_images_proj"),
+        "cond_proj": _linear_params(sd, f"{pre}cond_proj"),
+        "t_embedder": {
+            "fc1": _linear_params(sd, f"{pre}t_embedder.mlp.0"),
+            "fc2": _linear_params(sd, f"{pre}t_embedder.mlp.2"),
+        },
+        "layers": layers,
+        "final": {
+            "adaln": _linear_params(sd, f"{pre}final_layer.adaLN_modulation.1"),
+            "linear": _linear_params(sd, f"{pre}final_layer.linear"),
+        },
+    }
+
+
+def convert_speech_connector(sd: Dict, prefix: str) -> Dict:
+    """SpeechConnector: fc1 -> RMSNorm -> fc2 (reference modeling_vibevoice.py:58-69)."""
+    return {
+        "fc1": _linear_params(sd, f"{prefix}.fc1"),
+        "norm": {"w": vec(sd[f"{prefix}.norm.weight"])},
+        "fc2": _linear_params(sd, f"{prefix}.fc2"),
+    }
+
+
+def convert_qwen2(sd: Dict, cfg, prefix: str = "") -> Dict:
+    """HF Qwen2Model state dict -> qwen2 params pytree (see models/qwen2.py)."""
+    pre = prefix + "." if prefix else ""
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lp = f"{pre}layers.{i}"
+        layers.append(
+            {
+                "input_norm": {"w": vec(sd[f"{lp}.input_layernorm.weight"])},
+                "attn": {
+                    "q": _linear_params(sd, f"{lp}.self_attn.q_proj"),
+                    "k": _linear_params(sd, f"{lp}.self_attn.k_proj"),
+                    "v": _linear_params(sd, f"{lp}.self_attn.v_proj"),
+                    "o": _linear_params(sd, f"{lp}.self_attn.o_proj"),
+                },
+                "post_norm": {"w": vec(sd[f"{lp}.post_attention_layernorm.weight"])},
+                "mlp": {
+                    "gate": _linear_params(sd, f"{lp}.mlp.gate_proj"),
+                    "up": _linear_params(sd, f"{lp}.mlp.up_proj"),
+                    "down": _linear_params(sd, f"{lp}.mlp.down_proj"),
+                },
+            }
+        )
+    return {
+        "embed": vec(sd[f"{pre}embed_tokens.weight"]),
+        "layers": layers,
+        "final_norm": {"w": vec(sd[f"{pre}norm.weight"])},
+    }
