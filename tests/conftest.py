@@ -14,3 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment pins JAX_PLATFORMS=axon (real TPU tunnel) via a site hook;
+# the config update below is the reliable CPU override.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
