@@ -1,0 +1,288 @@
+"""Qwen2 decoder LM, TPU-native.
+
+Functional GQA transformer matching HF's Qwen2 math (the reference builds its
+LM via ``AutoModel.from_config(Qwen2Config)``, reference
+modeling_vibevoice.py:119-121): RMSNorm, full-head RoPE with rotate-half,
+q/k/v biases, SwiGLU MLP.
+
+KV-cache design (TPU-first, replaces HF's left-padded uniform-append cache +
+the reference's per-sample cache "shift-delete" surgery, reference
+modeling_vibevoice_inference.py:549-624):
+
+* Sequences are RIGHT-padded; each sample carries its own valid length
+  ``len[b]``.
+* A decode chunk of W tokens is written at per-sample offsets ``len[b]``
+  (vmapped dynamic_update_slice) and attends keys ``j <= len[b] + i``.
+* "Logically deleting" a speculative token (the negative CFG stream's
+  non-diffusion samples) is simply *not advancing* ``len[b]``; the next write
+  overwrites the slot. Resetting a stream to its first token is ``len[b] = 1``.
+  No data movement, identical attention semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import Qwen2Config
+from ..ops.norms import rms_norm
+
+Params = Dict
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, S, KH, D)
+    v: jnp.ndarray  # (L, B, S, KH, D)
+    length: jnp.ndarray  # (B,) int32 — valid prefix length per sample
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def make_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: Qwen2Config, dtype=jnp.float32) -> Params:
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    kh = cfg.num_key_value_heads * cfg.head_dim
+    std = cfg.initializer_range
+    keys = jax.random.split(key, 2 + cfg.num_hidden_layers)
+
+    def lin(k, cin, cout, bias=False):
+        p = {"w": (jax.random.normal(k, (cin, cout), jnp.float32) * std).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((cout,), dtype)
+        return p
+
+    layers = []
+    for li in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[2 + li], 7)
+        layers.append(
+            {
+                "input_norm": {"w": jnp.ones((h,), dtype)},
+                "attn": {
+                    "q": lin(ks[0], h, h, bias=True),
+                    "k": lin(ks[1], h, kh, bias=True),
+                    "v": lin(ks[2], h, kh, bias=True),
+                    "o": lin(ks[3], h, h),
+                },
+                "post_norm": {"w": jnp.ones((h,), dtype)},
+                "mlp": {
+                    "gate": lin(ks[4], h, i),
+                    "up": lin(ks[5], h, i),
+                    "down": lin(ks[6], i, h),
+                },
+            }
+        )
+    embed = (jax.random.normal(keys[0], (cfg.vocab_size, h), jnp.float32) * std).astype(dtype)
+    return {"embed": embed, "layers": layers, "final_norm": {"w": jnp.ones((h,), dtype)}}
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions (B, T) -> cos/sin (B, T, D) in HF half-split layout."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x (B, T, H, D); HF rotate-half convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rot * sin[:, :, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def _mm(x, p):
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _attention_masked(q, k, v, mask):
+    """q (B,T,NH,D), k/v (B,S,KH,D), mask (B,T,S) bool -> (B,T,NH,D).
+
+    GQA by reshaping q into (KH, G) groups; f32 softmax.
+    """
+    b, t, nh, d = q.shape
+    s, kh = k.shape[1], k.shape[2]
+    g = nh // kh
+    qg = q.reshape(b, t, kh, g, d)
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * (d**-0.5)
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    scores = jnp.where(mask[:, None, None, :, :], scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v)
+    return out.reshape(b, t, nh, d)
+
+
+def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Write (B, W, KH, D) into (B, S, KH, D) at per-sample offsets (B,)."""
+
+    def one(buf, chunk, off):
+        return jax.lax.dynamic_update_slice(buf, chunk, (off, 0, 0))
+
+    return jax.vmap(one)(cache_layer, new, offsets)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None):
+    """One transformer block. Returns (x, (k_new, v_new) cache layer or None)."""
+    b, t, h = x.shape
+    nh, kh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    res = x
+    hdn = rms_norm(x, lp["input_norm"]["w"], cfg.rms_norm_eps)
+    q = _mm(hdn, lp["attn"]["q"]).reshape(b, t, nh, d)
+    k = _mm(hdn, lp["attn"]["k"]).reshape(b, t, kh, d)
+    v = _mm(hdn, lp["attn"]["v"]).reshape(b, t, kh, d)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = _write_cache(ck, k.astype(ck.dtype), offsets)
+        cv = _write_cache(cv, v.astype(cv.dtype), offsets)
+        attn = _attention_masked(q, ck.astype(q.dtype), cv.astype(q.dtype), mask)
+        new_cache = (ck, cv)
+    else:
+        attn = _attention_masked(q, k, v, mask)
+        new_cache = None
+
+    x = res + _mm(attn.reshape(b, t, h), lp["attn"]["o"])
+
+    res = x
+    hdn = rms_norm(x, lp["post_norm"]["w"], cfg.rms_norm_eps)
+    m = lp["mlp"]
+    hdn = _mm(jax.nn.silu(_mm(hdn, m["gate"])) * _mm(hdn, m["up"]), m["down"])
+    return res + hdn, new_cache
+
+
+def forward(
+    cfg: Qwen2Config,
+    params: Params,
+    embeds: jnp.ndarray,
+    *,
+    valid_mask: Optional[jnp.ndarray] = None,
+    cache: Optional[KVCache] = None,
+    advance: Optional[jnp.ndarray] = None,
+    layer_range: Optional[Tuple[int, int]] = None,
+    skip_final_norm: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the LM over a chunk of embeddings.
+
+    Args:
+      embeds: (B, T, H) input embeddings (chunk = full prompt for prefill or a
+        decode window).
+      valid_mask: (B, T) bool marking real (non-pad) tokens; default all-True.
+      cache: KVCache; when given, the chunk is appended at ``cache.length``
+        and attention spans the whole cache. When None, plain causal
+        self-attention over the chunk (training path).
+      advance: (B,) int32 — how much to advance each sample's cache length
+        (defaults to the per-sample count of valid tokens). Pass zeros to
+        evaluate speculatively without committing (negative-stream trick).
+      layer_range: (start, stop) slice of layers (the streaming model's split
+        stacks, reference modeling_vibevoice_streaming.py:134-143).
+      skip_final_norm: omit the final RMSNorm (lower split of the streaming LM).
+
+    Returns (hidden (B, T, H), new_cache).
+    """
+    b, t, h = embeds.shape
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, t), bool)
+
+    if cache is not None:
+        base = cache.length  # (B,)
+        q_abs = base[:, None] + jnp.cumsum(valid_mask.astype(jnp.int32), axis=1) - 1
+        q_abs = jnp.where(valid_mask, q_abs, base[:, None])  # pads: harmless position
+        positions = q_abs
+        s = cache.max_len
+        j = jnp.arange(s)
+        # keys: committed prefix OR this chunk's valid tokens at their slots
+        # (chunk token i occupies slot base + i; pads masked at their slots)
+        prefix_valid = j[None, :] < base[:, None]  # (B, S)
+        chunk_valid = jax.vmap(
+            lambda vm, off: jax.lax.dynamic_update_slice(jnp.zeros((s,), bool), vm, (off,))
+        )(valid_mask, base)
+        key_valid = prefix_valid | chunk_valid  # (B, S)
+        causal = j[None, None, :] <= q_abs[:, :, None]  # (B, T, S) absolute slots
+        mask = key_valid[:, None, :] & causal
+        offsets = base
+    else:
+        positions = jnp.cumsum(valid_mask.astype(jnp.int32), axis=1) - 1
+        positions = jnp.maximum(positions, 0)
+        ji = jnp.arange(t)
+        causal = ji[:, None] >= ji[None, :]  # (T, T): query i attends key j <= i
+        mask = valid_mask[:, None, :] & causal[None]
+        offsets = None
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, embeds.dtype)
+
+    lo, hi = layer_range if layer_range is not None else (0, cfg.num_hidden_layers)
+    x = embeds
+    new_k, new_v = None, None
+    if cache is not None:
+        new_k = cache.k
+        new_v = cache.v
+    for li in range(lo, hi):
+        cache_kv = (new_k[li], new_v[li]) if cache is not None else None
+        x, updated = _layer(
+            cfg, params["layers"][li], x, cos, sin, mask=mask, cache_kv=cache_kv, offsets=offsets
+        )
+        if cache is not None:
+            new_k = new_k.at[li].set(updated[0])
+            new_v = new_v.at[li].set(updated[1])
+
+    if not skip_final_norm:
+        x = rms_norm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
+
+    if cache is not None:
+        if advance is None:
+            advance = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
+        return x, KVCache(k=new_k, v=new_v, length=cache.length + advance)
+    return x, None
+
+
+def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][ids]
+
+
+def lm_head_logits(params: Params, hidden: jnp.ndarray, lm_head: Optional[jnp.ndarray] = None):
+    """Logits; with tied embeddings lm_head is the embedding matrix
+    (reference modeling_vibevoice_inference.py:119-128)."""
+    w = params["embed"] if lm_head is None else lm_head
+    return jnp.dot(hidden, w.T.astype(hidden.dtype))
