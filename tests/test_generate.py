@@ -1,0 +1,123 @@
+"""End-to-end generate() on a tiny random-weight model (SURVEY.md §4 item 3):
+token-constraint invariants, audio-length invariants, termination."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vibevoice_tpu.configs import tiny_config
+from vibevoice_tpu.models import inference as inf
+from vibevoice_tpu.models import vibevoice as vv
+
+CFG = tiny_config()
+HOP = 8  # ratios (4, 2)
+TOKENS = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2, bos=None)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return vv.init(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def step_fn():
+    return inf.make_step_fn(CFG, TOKENS, inf.GenerateOptions(ddpm_steps=3, max_length=128))
+
+
+def test_generate_invariants(params, step_fn):
+    rng = np.random.RandomState(0)
+    ids = rng.randint(10, 100, (2, 12)).astype(np.int64)
+    ids[:, -1] = TOKENS.speech_start
+    valid = np.ones((2, 12), bool)
+    valid[1, 9:] = False
+    ids[1, 9:] = 0
+    ids[1, 8] = TOKENS.speech_start
+
+    out = inf.generate(
+        CFG,
+        params,
+        input_ids=ids,
+        valid_mask=valid,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=3, max_length=128),
+        step_fn=step_fn,
+    )
+    assert out.sequences.shape[0] == 2
+    gen = out.sequences[:, 12:]
+    # 1. all generated tokens are in the constrained set
+    assert set(np.unique(gen)).issubset(set(TOKENS.candidates))
+    # 2. audio length == hop * (#diffusion tokens before finishing)
+    for b in range(2):
+        toks = gen[b]
+        eos_pos = np.nonzero(toks == TOKENS.eos)[0]
+        end = eos_pos[0] if len(eos_pos) else len(toks)
+        n_diff = int((toks[:end] == TOKENS.speech_diffusion).sum())
+        audio = out.speech_outputs[b]
+        n_audio = 0 if audio is None else len(audio)
+        assert n_audio == n_diff * HOP, (b, n_audio, n_diff)
+    # 3. max_length_times cap respected: sample 1 has 9 valid tokens -> <= 18 steps
+    assert gen.shape[1] <= int(2.0 * 12)
+
+
+def test_generate_deterministic(params, step_fn):
+    ids = np.full((1, 8), 20, np.int64)
+    ids[:, -1] = TOKENS.speech_start
+    kw = dict(
+        input_ids=ids,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=3, max_length=64),
+        seed=7,
+        step_fn=step_fn,
+    )
+    a = inf.generate(CFG, params, **kw)
+    b = inf.generate(CFG, params, **kw)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
+    for x, y in zip(a.speech_outputs, b.speech_outputs):
+        if x is None:
+            assert y is None
+        else:
+            np.testing.assert_array_equal(x, y)
+
+
+def test_generate_with_voice_prompt(params, step_fn):
+    """Voice-clone prefill path: speech features spliced at masked positions."""
+    rng = np.random.RandomState(1)
+    t_wav = 4 * HOP
+    n_frames = 4
+    ids = rng.randint(10, 100, (1, 10)).astype(np.int64)
+    ids[0, 2:6] = TOKENS.speech_diffusion  # voice-prompt placeholder positions
+    ids[0, -1] = TOKENS.speech_start
+    mask = np.zeros((1, 10), bool)
+    mask[0, 2:6] = True
+
+    out = inf.generate(
+        CFG,
+        params,
+        input_ids=ids,
+        speech_tensors=rng.randn(1, t_wav).astype(np.float32),
+        speech_frame_valid=np.ones((1, n_frames), bool),
+        speech_input_mask=mask,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=3, max_length=64),
+        step_fn=step_fn,
+    )
+    assert out.sequences.shape[1] > 10
+    assert set(np.unique(out.sequences[:, 10:])).issubset(set(TOKENS.candidates))
+
+
+def test_splice_speech_features_ordering():
+    """splice places feature rows at masked positions in row-major order."""
+    b, t, h = 2, 5, 4
+    embeds = jnp.zeros((b, t, h))
+    mask = jnp.array([[False, True, True, False, False], [True, False, False, True, False]])
+    feats = jnp.arange(4 * 3 * h, dtype=jnp.float32).reshape(2, 6, h)[:, :3]
+    feats = jnp.stack([jnp.full((3, h), i + 1.0) * jnp.arange(1, 4)[:, None] for i in range(2)])
+    valid = jnp.array([[True, True, False], [True, True, False]])
+    out = vv.splice_speech_features(embeds, mask, feats, valid)
+    # flat order of valid feats: s0f0, s0f1, s1f0, s1f1
+    np.testing.assert_allclose(np.asarray(out[0, 1]), np.asarray(feats[0, 0]))
+    np.testing.assert_allclose(np.asarray(out[0, 2]), np.asarray(feats[0, 1]))
+    np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(feats[1, 0]))
+    np.testing.assert_allclose(np.asarray(out[1, 3]), np.asarray(feats[1, 1]))
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0)

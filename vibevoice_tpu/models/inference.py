@@ -1,0 +1,392 @@
+"""Generation engine for the multi-speaker VibeVoice model.
+
+Re-designs the reference's host-driven generate loop
+(reference modeling_vibevoice_inference.py:326-710) around ONE fused, jitted
+step function per 7.5 Hz frame:
+
+    constrained token choice -> CFG negative-stream bookkeeping ->
+    K-step DPM-solver scan -> streaming conv vocode -> semantic re-encode ->
+    next-step embeddings -> both LM forwards for the next frame
+
+Key departures from the reference (equivalent semantics, TPU-first):
+
+* The negative CFG stream's per-position KV-cache "shift-delete" surgery
+  (reference :549-624) becomes pure length bookkeeping on the right-padded
+  cache: every step writes speculatively (advance=0) and the *next* step
+  commits the slot only for samples that turned out to be diffusing
+  (see models/qwen2.py). `speech_start` resets the stream by setting its
+  length to 1 — slot 0 always holds the negative prompt's KV.
+* Diffusion + vocoding run every step for the full batch under masks
+  (branch-free); non-diffusion steps are rare (segment boundaries), so the
+  wasted work is negligible and the program is a single static XLA graph.
+* Per-sample finish/max-length bookkeeping lives on host (it gates streamer
+  delivery), tokens and audio cross the device boundary once per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import VibeVoiceConfig
+from ..schedule import dpm_solver as dpm
+from . import diffusion_head as dh
+from . import qwen2
+from . import tokenizer as tok
+from . import vibevoice as vv
+
+
+@dataclass(frozen=True)
+class SpecialTokens:
+    """Speech control tokens reuse Qwen2.5-VL vision token ids
+    (reference modular_vibevoice_text_tokenizer.py:66-84)."""
+
+    speech_start: int = 151652  # <|vision_start|>
+    speech_end: int = 151653  # <|vision_end|>
+    speech_diffusion: int = 151654  # <|vision_pad|>
+    eos: int = 151643  # <|endoftext|>
+    bos: Optional[int] = None
+
+    @property
+    def candidates(self):
+        c = [self.speech_start, self.speech_end, self.speech_diffusion, self.eos]
+        if self.bos is not None:
+            c.append(self.bos)
+        return tuple(c)
+
+
+@dataclass(frozen=True)
+class GenerateOptions:
+    cfg_scale: float = 1.3
+    ddpm_steps: int = 10
+    do_sample: bool = False
+    refresh_negative: bool = True
+    max_length_times: float = 2.0
+    max_length: Optional[int] = None  # defaults to LM context length
+    sde: bool = False
+
+
+class DecodeCarry(NamedTuple):
+    pos_cache: qwen2.KVCache
+    neg_cache: qwen2.KVCache
+    dec_state: Dict
+    sem_state: Dict
+    h_pos: jnp.ndarray  # (B, H) hidden that will emit this step's token
+    h_neg: jnp.ndarray  # (B, H)
+    finished: jnp.ndarray  # (B,) bool
+
+
+class StepOut(NamedTuple):
+    tokens: jnp.ndarray  # (B,)
+    audio: jnp.ndarray  # (B, hop, 1)
+    audio_mask: jnp.ndarray  # (B,) bool — sample produced audio this step
+    finished: jnp.ndarray  # (B,)
+
+
+@dataclass
+class GenerationOutput:
+    """Mirrors reference VibeVoiceGenerationOutput
+    (modeling_vibevoice_inference.py:38-51)."""
+
+    sequences: np.ndarray
+    speech_outputs: Optional[List[Optional[np.ndarray]]] = None
+    reach_max_step_sample: Optional[np.ndarray] = None
+
+
+# ---------------------------------------------------------------------------
+# Jitted core
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 3, 6, 7), donate_argnums=())
+def prefill_fn(
+    cfg: VibeVoiceConfig,
+    params,
+    ids,
+    max_len: int,
+    valid_mask,
+    speech_args,
+    use_speech: bool,
+    tokens: SpecialTokens,
+    key,
+):
+    """Full-prompt prefill for both streams. Returns the initial DecodeCarry."""
+    b, t = ids.shape
+    lm_cfg = cfg.decoder_config
+    dtype = params["lm"]["embed"].dtype
+    embeds = qwen2.embed_tokens(params["lm"], ids)
+
+    if use_speech:
+        speech_tensors, speech_frame_valid, speech_input_mask, vae_key = speech_args
+        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key)
+        embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
+
+    pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    h, pos_cache = qwen2.forward(lm_cfg, params["lm"], embeds, valid_mask=valid_mask, cache=pos_cache)
+    last = jnp.maximum(jnp.sum(valid_mask.astype(jnp.int32), axis=1) - 1, 0)
+    h_pos = h[jnp.arange(b), last]
+
+    # negative stream: 1-token <speech_start> prompt with its own cache
+    # (reference :379-386)
+    neg_ids = jnp.full((b, 1), tokens.speech_start, jnp.int32)
+    neg_embeds = qwen2.embed_tokens(params["lm"], neg_ids)
+    neg_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    h_neg, neg_cache = qwen2.forward(lm_cfg, params["lm"], neg_embeds, cache=neg_cache)
+
+    dec_state = tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype)
+    sem_state = tok.init_encoder_state(cfg.semantic_tokenizer_config, b, dtype)
+    return DecodeCarry(
+        pos_cache=pos_cache,
+        neg_cache=neg_cache,
+        dec_state=dec_state,
+        sem_state=sem_state,
+        h_pos=h_pos,
+        h_neg=h_neg[:, 0],
+        finished=jnp.zeros((b,), bool),
+    )
+
+
+def make_step_fn(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions):
+    """Builds the fused per-frame step function (jitted, carry donated)."""
+    lm_cfg = cfg.decoder_config
+    acfg = cfg.acoustic_tokenizer_config
+    scfg = cfg.semantic_tokenizer_config
+    hcfg = cfg.diffusion_head_config
+    coeffs = dpm.make_solver(
+        opts.ddpm_steps,
+        num_train_timesteps=hcfg.ddpm_num_steps,
+        beta_schedule=hcfg.ddpm_beta_schedule,
+        prediction_type=hcfg.prediction_type,
+        algorithm_type="sde-dpmsolver++" if opts.sde else "dpmsolver++",
+    )
+    cand = jnp.asarray(tokens.candidates, jnp.int32)
+
+    def step(params, carry: DecodeCarry, key, ext_finish):
+        b = carry.h_pos.shape[0]
+        k_tok, k_lat, k_sde = jax.random.split(key, 3)
+
+        # ---- 1. constrained token choice (reference :488-501) -------------
+        logits = vv.lm_logits(params, carry.h_pos).astype(jnp.float32)
+        cand_logits = logits[:, cand]
+        if opts.do_sample:
+            choice = jax.random.categorical(k_tok, cand_logits, axis=-1)
+        else:
+            choice = jnp.argmax(cand_logits, axis=-1)
+        next_tok = cand[choice]
+        next_tok = jnp.where(carry.finished, tokens.eos, next_tok)
+
+        finished = carry.finished | (next_tok == tokens.eos) | ext_finish
+        diff_mask = (next_tok == tokens.speech_diffusion) & ~finished
+        end_mask = next_tok == tokens.speech_end
+        start_mask = (next_tok == tokens.speech_start) & ~finished
+
+        # ---- 2. negative-stream bookkeeping -------------------------------
+        neg_cache = carry.neg_cache
+        if opts.refresh_negative:
+            # commit last step's speculative slot only for diffusing samples,
+            # then reset streams that just emitted <speech_start>
+            new_len = neg_cache.length + diff_mask.astype(jnp.int32)
+            new_len = jnp.where(start_mask, 1, new_len)
+            neg_cache = neg_cache._replace(length=new_len)
+        else:
+            neg_cache = neg_cache._replace(length=neg_cache.length + 1)
+
+        # ---- 3. conv-state reset on speech_end (reference :542-546) -------
+        dec_state = tok.reset_state(carry.dec_state, end_mask)
+        sem_state = tok.reset_state(carry.sem_state, end_mask)
+
+        # ---- 4. CFG diffusion scan (reference :629-633, :697-710) ---------
+        head_fn = lambda x, t, c: dh.apply(params["diffusion_head"], hcfg, x, t, c)
+        x_init = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+        latent = dpm.cfg_sample(
+            coeffs,
+            head_fn,
+            carry.h_pos,
+            carry.h_neg,
+            opts.cfg_scale,
+            x_init,
+            key=k_sde if opts.sde else None,
+        )
+
+        # ---- 5. vocode one frame + semantic re-encode (reference :636-664)
+        dtype = params["lm"]["embed"].dtype
+        scaled = latent / params["speech_scaling_factor"] - params["speech_bias_factor"]
+        audio, dec_state_new = tok.decode(
+            acfg, params["acoustic_tokenizer"], scaled[:, None, :].astype(dtype), dec_state
+        )
+        sem_mean, sem_state_new = tok.encode(scfg, params["semantic_tokenizer"], audio, sem_state)
+
+        commit = diff_mask.reshape(-1, 1, 1)
+        dec_state = jax.tree.map(lambda n, o: jnp.where(commit, n, o), dec_state_new, dec_state)
+        sem_state = jax.tree.map(lambda n, o: jnp.where(commit, n, o), sem_state_new, sem_state)
+
+        # ---- 6. next-step embeddings (reference :567-675) -----------------
+        acoustic_embed = vv.connector_apply(params["acoustic_connector"], latent.astype(dtype))
+        semantic_embed = vv.connector_apply(params["semantic_connector"], sem_mean[:, 0])
+        diff_embeds = acoustic_embed + semantic_embed
+        tok_embeds = qwen2.embed_tokens(params["lm"], next_tok)
+        next_embeds = jnp.where(diff_mask[:, None], diff_embeds, tok_embeds)[:, None, :]
+
+        # ---- 7. both LM forwards for the next frame -----------------------
+        h_pos, pos_cache = qwen2.forward(lm_cfg, params["lm"], next_embeds, cache=carry.pos_cache)
+        h_neg, neg_cache = qwen2.forward(
+            lm_cfg,
+            params["lm"],
+            next_embeds,
+            cache=neg_cache,
+            advance=jnp.zeros((b,), jnp.int32) if opts.refresh_negative else None,
+        )
+
+        new_carry = DecodeCarry(
+            pos_cache=pos_cache,
+            neg_cache=neg_cache,
+            dec_state=dec_state,
+            sem_state=sem_state,
+            h_pos=h_pos[:, 0],
+            h_neg=h_neg[:, 0],
+            finished=finished,
+        )
+        out = StepOut(tokens=next_tok, audio=audio, audio_mask=diff_mask, finished=finished)
+        return new_carry, out
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+def generate(
+    cfg: VibeVoiceConfig,
+    params,
+    *,
+    input_ids: np.ndarray,
+    valid_mask: Optional[np.ndarray] = None,
+    speech_tensors: Optional[np.ndarray] = None,
+    speech_frame_valid: Optional[np.ndarray] = None,
+    speech_input_mask: Optional[np.ndarray] = None,
+    tokens: SpecialTokens = SpecialTokens(),
+    opts: GenerateOptions = GenerateOptions(),
+    seed: int = 0,
+    audio_streamer=None,
+    stop_check_fn: Optional[Callable[[], bool]] = None,
+    show_progress_bar: bool = False,
+    step_fn=None,
+) -> GenerationOutput:
+    """Host loop: prefill once, then one fused device step per frame
+    (call-stack parity: SURVEY.md §3.1).
+
+    input_ids must be RIGHT-padded; `valid_mask` marks real tokens.
+    """
+    b, t0 = input_ids.shape
+    if valid_mask is None:
+        valid_mask = np.ones((b, t0), bool)
+    lengths = valid_mask.sum(axis=1).astype(np.int64)
+
+    max_length = opts.max_length or cfg.decoder_config.max_position_embeddings
+    max_steps = int(min(max_length - t0, opts.max_length_times * t0))
+    max_step_per_sample = np.minimum(
+        max_length - lengths, (opts.max_length_times * lengths).astype(np.int64)
+    )
+
+    key = jax.random.PRNGKey(seed)
+    key, pk, vk = jax.random.split(key, 3)
+
+    use_speech = speech_tensors is not None
+    speech_args = None
+    if use_speech:
+        hop = cfg.acoustic_tokenizer_config.hop_length
+        expected_frames = -(-speech_tensors.shape[1] // hop)
+        if speech_frame_valid.shape[1] != expected_frames:
+            raise ValueError(
+                f"speech_frame_valid has {speech_frame_valid.shape[1]} frames but the "
+                f"acoustic tokenizer (hop {hop}) produces {expected_frames}; did the "
+                "processor use a mismatched speech_tok_compress_ratio?"
+            )
+        speech_args = (
+            jnp.asarray(speech_tensors),
+            jnp.asarray(speech_frame_valid),
+            jnp.asarray(speech_input_mask),
+            vk,
+        )
+    carry = prefill_fn(
+        cfg,
+        params,
+        jnp.asarray(input_ids, jnp.int32),
+        max_length,
+        jnp.asarray(valid_mask),
+        speech_args,
+        use_speech,
+        tokens,
+        pk,
+    )
+
+    if step_fn is None:
+        step_fn = make_step_fn(cfg, tokens, opts)
+
+    sequences = [input_ids]
+    audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
+    reach_max = np.zeros(b, bool)
+    finished_host = np.zeros(b, bool)
+
+    iterator = range(max_steps)
+    if show_progress_bar:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="Generating", leave=False)
+        except ImportError:
+            pass
+
+    for step in iterator:
+        if stop_check_fn is not None and stop_check_fn():
+            if audio_streamer is not None:
+                audio_streamer.end()
+            break
+        if audio_streamer is not None and getattr(audio_streamer, "finished_flags", None):
+            if any(audio_streamer.finished_flags):
+                break
+        if finished_host.all():
+            break
+
+        ext_finish = step >= max_step_per_sample
+        newly_maxed = ext_finish & ~finished_host
+        reach_max |= newly_maxed
+
+        key, sk = jax.random.split(key)
+        carry, out = step_fn(params, carry, sk, jnp.asarray(ext_finish))
+
+        toks = np.asarray(out.tokens)
+        amask = np.asarray(out.audio_mask)
+        new_finished = np.asarray(out.finished)
+
+        sequences.append(toks[:, None])
+        if amask.any():
+            audio = np.asarray(out.audio)  # (B, hop, 1)
+            for i in np.nonzero(amask)[0]:
+                audio_chunks[i].append(audio[i, :, 0])
+            if audio_streamer is not None:
+                audio_streamer.put(audio[amask, :, 0], np.nonzero(amask)[0])
+
+        newly_done = new_finished & ~finished_host
+        if newly_done.any() and audio_streamer is not None:
+            audio_streamer.end(np.nonzero(newly_done)[0])
+        finished_host = new_finished
+
+    if audio_streamer is not None:
+        audio_streamer.end()
+
+    speech_outputs: List[Optional[np.ndarray]] = [
+        np.concatenate(c) if c else None for c in audio_chunks
+    ]
+    return GenerationOutput(
+        sequences=np.concatenate(sequences, axis=1),
+        speech_outputs=speech_outputs,
+        reach_max_step_sample=reach_max,
+    )

@@ -1,0 +1,131 @@
+"""Composite VibeVoice model: Qwen2 LM + σ-VAE tokenizers + connectors +
+diffusion head (reference modeling_vibevoice.py:107-209).
+
+Parameters live in one pytree:
+
+  {"lm": qwen2 params, "lm_head": optional (V, H) when untied,
+   "acoustic_tokenizer": ..., "semantic_tokenizer": ...,
+   "acoustic_connector": ..., "semantic_connector": ...,
+   "diffusion_head": ...,
+   "speech_scaling_factor": scalar, "speech_bias_factor": scalar}
+
+The scaling/bias scalars are the reference's NaN-initialised buffers computed
+from the first training batch (reference modeling_vibevoice.py:130-132,
+:307-323); checkpoints carry concrete values.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import VibeVoiceConfig
+from ..ops.norms import rms_norm
+from . import diffusion_head as dh
+from . import qwen2
+from . import tokenizer as tok
+
+Params = Dict
+
+CONNECTOR_NORM_EPS = 1e-6  # LlamaRMSNorm(eps=1e-6), reference modeling_vibevoice.py:62
+
+
+def init_connector(key, in_dim: int, out_dim: int, dtype=jnp.float32, std: float = 0.02) -> Params:
+    k1, k2 = jax.random.split(key)
+
+    def lin(k, cin, cout):
+        return {
+            "w": (jax.random.normal(k, (cin, cout), jnp.float32) * std).astype(dtype),
+            "b": jnp.zeros((cout,), dtype),
+        }
+
+    return {"fc1": lin(k1, in_dim, out_dim), "norm": {"w": jnp.ones((out_dim,), dtype)}, "fc2": lin(k2, out_dim, out_dim)}
+
+
+def connector_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """fc1 -> RMSNorm -> fc2 (reference modeling_vibevoice.py:58-69)."""
+    h = jnp.dot(x, p["fc1"]["w"].astype(x.dtype)) + p["fc1"]["b"].astype(x.dtype)
+    h = rms_norm(h, p["norm"]["w"], CONNECTOR_NORM_EPS)
+    return jnp.dot(h, p["fc2"]["w"].astype(h.dtype)) + p["fc2"]["b"].astype(h.dtype)
+
+
+def init(key, cfg: VibeVoiceConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 7)
+    h = cfg.decoder_config.hidden_size
+    params = {
+        "lm": qwen2.init(ks[0], cfg.decoder_config, dtype),
+        "acoustic_tokenizer": tok.init_acoustic_tokenizer(ks[1], cfg.acoustic_tokenizer_config, dtype),
+        "semantic_tokenizer": tok.init_semantic_tokenizer(ks[2], cfg.semantic_tokenizer_config, dtype),
+        "acoustic_connector": init_connector(ks[3], cfg.acoustic_vae_dim, h, dtype),
+        "semantic_connector": init_connector(ks[4], cfg.semantic_vae_dim, h, dtype),
+        "diffusion_head": dh.init(ks[5], cfg.diffusion_head_config, dtype),
+        "speech_scaling_factor": jnp.asarray(1.0, jnp.float32),
+        "speech_bias_factor": jnp.asarray(0.0, jnp.float32),
+    }
+    if not cfg.decoder_config.tie_word_embeddings:
+        params["lm_head"] = (
+            jax.random.normal(ks[6], (cfg.decoder_config.vocab_size, h), jnp.float32) * 0.02
+        ).astype(dtype)
+    return params
+
+
+def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    w = params.get("lm_head")
+    if w is None:
+        w = params["lm"]["embed"]
+    return jnp.dot(hidden, w.T.astype(hidden.dtype))
+
+
+def splice_speech_features(
+    embeds: jnp.ndarray,
+    speech_input_mask: jnp.ndarray,
+    features: jnp.ndarray,
+    feature_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Overwrite embeddings at masked positions with speech features, in
+    flat row-major order (the JAX equivalent of the reference's boolean-mask
+    assignment ``inputs_embeds[speech_input_mask] = features[speech_masks]``,
+    reference modeling_vibevoice_inference.py:221-224).
+
+    embeds: (B, T, H); speech_input_mask: (B, T) bool;
+    features: (N, F, H) connector outputs per voice clip;
+    feature_valid: (N, F) bool frame validity.
+    """
+    b, t, h = embeds.shape
+    feat_flat = features.reshape(-1, h)
+    valid_flat = feature_valid.reshape(-1)
+    m = feat_flat.shape[0]
+    # rank of each valid feature row among valid rows
+    rank = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1
+    rank = jnp.where(valid_flat, rank, m)  # invalid rows -> dropped by scatter
+    table = jnp.zeros((m + 1, h), embeds.dtype).at[rank].set(feat_flat.astype(embeds.dtype), mode="drop")
+    # rank of each masked embedding slot among masked slots
+    mask_flat = speech_input_mask.reshape(-1)
+    slot_rank = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    gathered = table[jnp.clip(slot_rank, 0, m - 1)]
+    out = jnp.where(mask_flat[:, None], gathered, embeds.reshape(-1, h))
+    return out.reshape(b, t, h)
+
+
+def encode_voice_features(
+    cfg: VibeVoiceConfig,
+    params: Params,
+    speech_tensors: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Voice-clone path: acoustic encode -> σ-VAE sample -> scale -> connector
+    (reference _process_speech_inputs, modeling_vibevoice_inference.py:149-163).
+
+    speech_tensors: (N, T_wav) mono 24 kHz waveforms (right-padded).
+    Returns connector features (N, F, H).
+    """
+    acfg = cfg.acoustic_tokenizer_config
+    mean, _ = tok.encode(acfg, params["acoustic_tokenizer"], speech_tensors[..., None])
+    if key is not None:
+        latents = tok.sample_latents(key, mean, acfg.fix_std, acfg.std_dist_type)
+    else:
+        latents = mean
+    scaled = (latents + params["speech_bias_factor"]) * params["speech_scaling_factor"]
+    return connector_apply(params["acoustic_connector"], scaled.astype(mean.dtype))

@@ -1,0 +1,300 @@
+"""VibeVoiceProcessor: scripts + voice prompts -> model-ready arrays.
+
+Builds the reference's exact prompt format
+(reference vibevoice/processor/vibevoice_processor.py:246-304):
+
+  system_prompt
+  [" Voice input:\n" + per speaker " Speaker k:" <speech_start>
+       N x <speech_diffusion> <speech_end> "\n"]
+  " Text input:\n"
+  per line " Speaker k: text\n"
+  " Speech output:\n" <speech_start>
+
+where N = ceil(samples / 3200) and `speech_input_mask` is True exactly on the
+N diffusion placeholders (reference :448-461).
+
+One deliberate difference: batches are RIGHT-padded with a per-sample valid
+mask — the TPU KV-cache design appends at per-sample lengths, so the
+reference's left padding (reference :306-404) is unnecessary. The attention
+semantics are identical (see models/qwen2.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .audio import AudioNormalizer, VibeVoiceTokenizerProcessor
+from .text_tokenizer import FallbackTextTokenizer, VibeVoiceTextTokenizer
+
+SYSTEM_PROMPT = (
+    " Transform the text provided by various speakers into speech output, "
+    "utilizing the distinct voice of each respective speaker.\n"
+)
+
+
+@dataclass
+class VibeVoiceProcessorOutput:
+    input_ids: np.ndarray  # (B, T) int64, right-padded
+    attention_mask: np.ndarray  # (B, T) bool — valid (non-pad) tokens
+    speech_input_mask: np.ndarray  # (B, T) bool — diffusion placeholder slots
+    speech_tensors: Optional[np.ndarray]  # (N, T_wav) all voice clips, padded
+    speech_masks: Optional[np.ndarray]  # (N, F) latent-frame validity
+    parsed_scripts: List[List[Tuple[int, str]]] = field(default_factory=list)
+    all_speakers_list: List[List[int]] = field(default_factory=list)
+
+    def keys(self):
+        return ["input_ids", "attention_mask", "speech_input_mask", "speech_tensors", "speech_masks"]
+
+
+class VibeVoiceProcessor:
+    """Reference-compatible front-end (reference vibevoice_processor.py:17-696)."""
+
+    def __init__(
+        self,
+        tokenizer=None,
+        audio_processor: Optional[VibeVoiceTokenizerProcessor] = None,
+        speech_tok_compress_ratio: int = 3200,
+        db_normalize: bool = True,
+    ):
+        self.tokenizer = tokenizer or FallbackTextTokenizer()
+        self.audio_processor = audio_processor or VibeVoiceTokenizerProcessor()
+        self.speech_tok_compress_ratio = speech_tok_compress_ratio
+        self.db_normalize = db_normalize
+        self.audio_normalizer = AudioNormalizer() if db_normalize else None
+        self.system_prompt = SYSTEM_PROMPT
+
+    # ------------------------------------------------------------------
+    # Pretrained config interop (preprocessor_config.json schema,
+    # reference :129-161)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "VibeVoiceProcessor":
+        config_path = os.path.join(path, "preprocessor_config.json")
+        config: Dict[str, Any] = {}
+        if os.path.exists(config_path):
+            with open(config_path) as f:
+                config = json.load(f)
+        tokenizer = None
+        lm_name = config.get("language_model_pretrained_name") or kwargs.pop(
+            "language_model_pretrained_name", None
+        )
+        for cand in [lm_name, path]:
+            if cand and os.path.isdir(str(cand)):
+                try:
+                    tokenizer = VibeVoiceTextTokenizer.from_pretrained(str(cand))
+                    break
+                except Exception:
+                    continue
+        audio_cfg = config.get("audio_processor", {})
+        audio_processor = VibeVoiceTokenizerProcessor(
+            sampling_rate=audio_cfg.get("sampling_rate", 24000),
+            normalize_audio=audio_cfg.get("normalize_audio", True),
+            target_dB_FS=audio_cfg.get("target_dB_FS", -25),
+            eps=audio_cfg.get("eps", 1e-6),
+        )
+        return cls(
+            tokenizer=tokenizer,
+            audio_processor=audio_processor,
+            speech_tok_compress_ratio=config.get("speech_tok_compress_ratio", 3200),
+            db_normalize=config.get("db_normalize", True),
+        )
+
+    def save_pretrained(self, save_directory: str) -> None:
+        os.makedirs(save_directory, exist_ok=True)
+        config = {
+            "processor_class": "VibeVoiceProcessor",
+            "speech_tok_compress_ratio": self.speech_tok_compress_ratio,
+            "db_normalize": self.db_normalize,
+            "audio_processor": {
+                "feature_extractor_type": "VibeVoiceTokenizerProcessor",
+                "sampling_rate": self.audio_processor.sampling_rate,
+                "normalize_audio": self.audio_processor.normalize_audio,
+            },
+        }
+        with open(os.path.join(save_directory, "preprocessor_config.json"), "w") as f:
+            json.dump(config, f, indent=2)
+
+    # ------------------------------------------------------------------
+    # Script handling (reference :519-639)
+    # ------------------------------------------------------------------
+
+    def _parse_script(self, script: str) -> List[Tuple[int, str]]:
+        parsed, ids = [], []
+        for line in script.strip().split("\n"):
+            if not line.strip():
+                continue
+            m = re.match(r"^Speaker\s+(\d+)\s*:\s*(.*)$", line.strip(), re.IGNORECASE)
+            if m:
+                sid = int(m.group(1))
+                parsed.append((sid, " " + m.group(2).strip()))
+                ids.append(sid)
+        if not parsed:
+            raise ValueError("No valid speaker lines found in script")
+        if min(ids) > 0:  # 1-based -> 0-based (reference :628-639)
+            parsed = [(s - 1, t) for s, t in parsed]
+        return parsed
+
+    def _convert_text_to_script(self, path: str) -> str:
+        with open(path, encoding="utf-8") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        out = []
+        for ln in lines:
+            if re.match(r"^Speaker\s+\d+\s*:", ln, re.IGNORECASE):
+                out.append(ln)
+            else:
+                out.append(f"Speaker 1: {ln}")
+        if not out:
+            raise ValueError("No valid content found in text file")
+        return "\n".join(out)
+
+    def _convert_json_to_script(self, path: str) -> str:
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        lines = []
+        for item in data if isinstance(data, list) else data.get("script", []):
+            speaker = item.get("speaker", 1)
+            text = item.get("text", "")
+            if text:
+                lines.append(f"Speaker {speaker}: {text}")
+        if not lines:
+            raise ValueError("No valid content found in JSON file")
+        return "\n".join(lines)
+
+    # ------------------------------------------------------------------
+    # Prompt assembly (reference :246-304, :406-467)
+    # ------------------------------------------------------------------
+
+    def _create_voice_prompt(self, speaker_samples: List[Union[str, np.ndarray]]):
+        tk = self.tokenizer
+        tokens = tk.encode(" Voice input:\n")
+        speech_inputs: List[np.ndarray] = []
+        masks = [False] * len(tokens)
+        for speaker_id, sample in enumerate(speaker_samples):
+            prefix = tk.encode(f" Speaker {speaker_id}:")
+            if isinstance(sample, str):
+                wav = self.audio_processor._load_audio_from_path(sample)
+            elif isinstance(sample, dict):
+                wav = np.asarray(sample.get("array", sample.get("audio")), np.float32)
+            else:
+                wav = np.asarray(sample, np.float32)
+            if self.db_normalize and self.audio_normalizer is not None:
+                wav = self.audio_normalizer(wav)
+            n_frames = math.ceil(wav.shape[0] / self.speech_tok_compress_ratio)
+            newline = tk.encode("\n")
+            seg = (
+                prefix
+                + [tk.speech_start_id]
+                + [tk.speech_diffusion_id] * n_frames
+                + [tk.speech_end_id]
+                + newline
+            )
+            seg_mask = (
+                [False] * len(prefix) + [False] + [True] * n_frames + [False] + [False] * len(newline)
+            )
+            tokens += seg
+            masks += seg_mask
+            speech_inputs.append(wav)
+        return tokens, speech_inputs, masks
+
+    def _process_single(self, text: str, voice_samples=None) -> Dict[str, Any]:
+        script = text
+        if isinstance(text, str):
+            if text.endswith(".json") and os.path.exists(text):
+                script = self._convert_json_to_script(text)
+            elif text.endswith(".txt") and os.path.exists(text):
+                script = self._convert_text_to_script(text)
+        parsed = self._parse_script(script)
+        all_speakers = sorted(set(s for s, _ in parsed))
+        tk = self.tokenizer
+
+        tokens = tk.encode(self.system_prompt)
+        mask = [False] * len(tokens)
+
+        speech_inputs = []
+        if voice_samples:
+            vt, speech_inputs, vm = self._create_voice_prompt(voice_samples[: len(all_speakers)])
+            tokens += vt
+            mask += vm
+
+        ti = tk.encode(" Text input:\n")
+        tokens += ti
+        mask += [False] * len(ti)
+        for sid, stext in parsed:
+            seg = tk.encode(f" Speaker {sid}:{stext}\n")
+            tokens += seg
+            mask += [False] * len(seg)
+        so = tk.encode(" Speech output:\n")
+        tokens += so + [tk.speech_start_id]
+        mask += [False] * (len(so) + 1)
+
+        return {
+            "input_ids": tokens,
+            "speech_inputs": speech_inputs or None,
+            "speech_input_mask": mask,
+            "parsed_script": parsed,
+            "all_speakers": all_speakers,
+        }
+
+    def prepare_speech_inputs(self, speech_inputs: List[np.ndarray]):
+        """Pad waveforms + latent-frame masks (reference :469-517)."""
+        if not speech_inputs:
+            return None, None
+        frame_lens = [
+            math.ceil(s.shape[0] / self.speech_tok_compress_ratio) for s in speech_inputs
+        ]
+        max_wav = max(s.shape[0] for s in speech_inputs)
+        padded = np.zeros((len(speech_inputs), max_wav), np.float32)
+        masks = np.zeros((len(speech_inputs), max(frame_lens)), np.bool_)
+        for i, (s, fl) in enumerate(zip(speech_inputs, frame_lens)):
+            padded[i, : len(s)] = s
+            masks[i, :fl] = True
+        return padded, masks
+
+    def __call__(
+        self,
+        text: Union[str, List[str]],
+        voice_samples: Optional[List] = None,
+        **kwargs,
+    ) -> VibeVoiceProcessorOutput:
+        texts = [text] if isinstance(text, str) else list(text)
+        if voice_samples is not None and voice_samples and not isinstance(voice_samples[0], list):
+            voice_samples = [voice_samples]
+        encodings = [
+            self._process_single(t, voice_samples[i] if voice_samples else None)
+            for i, t in enumerate(texts)
+        ]
+
+        max_len = max(len(e["input_ids"]) for e in encodings)
+        b = len(encodings)
+        input_ids = np.full((b, max_len), getattr(self.tokenizer, "pad_id", 0), np.int64)
+        attention = np.zeros((b, max_len), np.bool_)
+        sim = np.zeros((b, max_len), np.bool_)
+        for i, e in enumerate(encodings):
+            n = len(e["input_ids"])
+            input_ids[i, :n] = e["input_ids"]
+            attention[i, :n] = True
+            sim[i, :n] = e["speech_input_mask"]
+
+        all_speech = [s for e in encodings if e["speech_inputs"] for s in e["speech_inputs"]]
+        speech_tensors, speech_masks = self.prepare_speech_inputs(all_speech)
+
+        return VibeVoiceProcessorOutput(
+            input_ids=input_ids,
+            attention_mask=attention,
+            speech_input_mask=sim,
+            speech_tensors=speech_tensors,
+            speech_masks=speech_masks,
+            parsed_scripts=[e["parsed_script"] for e in encodings],
+            all_speakers_list=[e["all_speakers"] for e in encodings],
+        )
+
+    def save_audio(self, audio, output_path: str = "output.wav", **kwargs):
+        return self.audio_processor.save_audio(audio, output_path=output_path, **kwargs)
