@@ -1,0 +1,185 @@
+"""Training forward + loss for VibeVoice fine-tuning, as one static-shape
+jittable function.
+
+Re-designs the reference's VibeVoiceTrainer.training_forward / compute_loss
+(reference vibevoice/finetune/train_vibevoice.py:606-845) without dynamic
+boolean gathers:
+
+* Latents are scattered to their sequence positions once (rank-matching
+  scatter, shared with inference voice-prefill), so the diffusion loss is a
+  masked dense computation over (B, T, batch_mul) — static shapes, pjit-able.
+* The conditioning for the latent at position p is hidden[p-1] — the
+  reference's shift-left cond mask (train_vibevoice.py:689-692) expressed as
+  a roll.
+* The speech scaling/bias statistics (reference modeling_vibevoice.py:307-323)
+  are computed with `pmean` over the data-parallel mesh axis when
+  uninitialised (NaN), replacing torch.distributed all_reduce.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import VibeVoiceConfig
+from ..schedule.dpm_solver import NoiseSchedule
+from ..models import diffusion_head as dh
+from ..models import qwen2
+from ..models import tokenizer as tok
+from ..models import vibevoice as vv
+
+
+@dataclass(frozen=True)
+class TrainOptions:
+    ce_loss_weight: float = 1.0
+    diffusion_loss_weight: float = 1.0
+    ddpm_batch_mul: int = 4
+    dp_axis: Optional[str] = None  # mesh axis name for the stats all-reduce
+
+
+class Batch(NamedTuple):
+    """One collated training batch (see finetune/data.py). All right-padded."""
+
+    input_ids: jnp.ndarray  # (B, T) int32
+    attention_mask: jnp.ndarray  # (B, T) bool
+    speech_tensors: jnp.ndarray  # (N, T_wav) float — voice + target clips
+    speech_masks: jnp.ndarray  # (N, F) bool latent-frame validity
+    speech_semantic_tensors: jnp.ndarray  # (N, F, D_sem) precomputed semantics
+    speeches_loss_input: jnp.ndarray  # (N,) bool — clip is a diffusion target
+    acoustic_input_mask: jnp.ndarray  # (B, T) bool — all latent positions
+    acoustic_loss_mask: jnp.ndarray  # (B, T) bool — target latent positions
+
+
+class TrainOut(NamedTuple):
+    loss: jnp.ndarray
+    ce_loss: jnp.ndarray
+    diffusion_loss: jnp.ndarray
+    speech_scaling_factor: jnp.ndarray
+    speech_bias_factor: jnp.ndarray
+
+
+def _masked_std_mean(x: jnp.ndarray, mask: jnp.ndarray, dp_axis: Optional[str]):
+    """Std/mean of masked latent elements, optionally pmean'd across DP ranks
+    (reference modeling_vibevoice.py:307-323)."""
+    m = mask[..., None].astype(jnp.float32)
+    n = jnp.sum(m) * x.shape[-1]
+    s = jnp.sum(x * m)
+    ss = jnp.sum(jnp.square(x) * m)
+    if dp_axis is not None:
+        n = jax.lax.psum(n, dp_axis)
+        s = jax.lax.psum(s, dp_axis)
+        ss = jax.lax.psum(ss, dp_axis)
+    mean = s / jnp.maximum(n, 1.0)
+    # torch.std uses the unbiased estimator (n-1 denominator)
+    var = (ss - n * jnp.square(mean)) / jnp.maximum(n - 1.0, 1.0)
+    return jnp.sqrt(var), mean
+
+
+def train_forward(
+    cfg: VibeVoiceConfig,
+    params: Dict,
+    batch: Batch,
+    key: jax.Array,
+    opts: TrainOptions = TrainOptions(),
+    noise_schedule: Optional[NoiseSchedule] = None,
+) -> TrainOut:
+    hcfg = cfg.diffusion_head_config
+    acfg = cfg.acoustic_tokenizer_config
+    if noise_schedule is None:
+        noise_schedule = NoiseSchedule.create(hcfg.ddpm_num_steps, hcfg.ddpm_beta_schedule)
+
+    k_vae, k_noise, k_t = jax.random.split(key, 3)
+    b, t = batch.input_ids.shape
+    n, f = batch.speech_masks.shape
+    dtype = params["lm"]["embed"].dtype
+
+    # ---- acoustic encode + σ-sample + scaling stats ----------------------
+    mean, _ = tok.encode(acfg, params["acoustic_tokenizer"], batch.speech_tensors[..., None].astype(dtype))
+    latents = tok.sample_latents(k_vae, mean.astype(jnp.float32), acfg.fix_std, acfg.std_dist_type)
+    latents = jax.lax.stop_gradient(latents)
+
+    scaling = params["speech_scaling_factor"]
+    bias = params["speech_bias_factor"]
+    std, lat_mean = _masked_std_mean(latents, batch.speech_masks, opts.dp_axis)
+    need_init = jnp.isnan(scaling) | jnp.isnan(bias)
+    scaling = jnp.where(need_init, 1.0 / std, scaling)
+    bias = jnp.where(need_init, -lat_mean, bias)
+
+    speech_features = (latents + bias) * scaling  # (N, F, D) scaled latents
+
+    # ---- splice connector features into the token embeddings -------------
+    acoustic_connect = vv.connector_apply(params["acoustic_connector"], speech_features.astype(dtype))
+    semantic_connect = vv.connector_apply(
+        params["semantic_connector"], batch.speech_semantic_tensors.astype(dtype)
+    )
+    connect = acoustic_connect + semantic_connect  # (N, F, H)
+    embeds = qwen2.embed_tokens(params["lm"], batch.input_ids)
+    embeds = vv.splice_speech_features(
+        embeds, batch.acoustic_input_mask, connect, batch.speech_masks
+    )
+
+    # ---- LM forward -------------------------------------------------------
+    hidden, _ = qwen2.forward(
+        cfg.decoder_config, params["lm"], embeds, valid_mask=batch.attention_mask
+    )
+    logits = vv.lm_logits(params, hidden).astype(jnp.float32)
+
+    # ---- CE loss (mask pads + acoustic positions; reference
+    #      train_vibevoice.py:183-190) ---------------------------------------
+    labels = batch.input_ids[:, 1:]
+    label_mask = (
+        batch.attention_mask[:, 1:]
+        & batch.attention_mask[:, :-1]
+        & ~batch.acoustic_input_mask[:, 1:]
+    )
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    tok_logp = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    ce = -jnp.sum(tok_logp * label_mask) / jnp.maximum(jnp.sum(label_mask), 1)
+
+    # ---- diffusion loss ---------------------------------------------------
+    # scatter target latents to their sequence positions
+    target_valid = batch.speech_masks & batch.speeches_loss_input[:, None]
+    lat_at_pos = vv.splice_speech_features(
+        jnp.zeros((b, t, hcfg.latent_size), jnp.float32),
+        batch.acoustic_loss_mask,
+        speech_features,
+        target_valid,
+    )
+    # condition for position p is hidden[p-1] (shift-left cond mask)
+    cond_at_pos = jnp.roll(hidden, 1, axis=1).astype(jnp.float32)
+    loss_mask = batch.acoustic_loss_mask & (jnp.arange(t)[None, :] > 0)
+
+    mul = opts.ddpm_batch_mul
+    d = hcfg.latent_size
+    x0 = jnp.repeat(lat_at_pos.reshape(b * t, d), mul, axis=0)
+    cond = jnp.repeat(cond_at_pos.reshape(b * t, -1), mul, axis=0)
+    noise = jax.random.normal(k_noise, x0.shape, jnp.float32)
+    timesteps = jax.random.randint(k_t, (b * t * mul,), 0, hcfg.ddpm_num_steps)
+
+    noisy = noise_schedule.add_noise(x0, noise, timesteps)
+    pred = dh.apply(
+        params["diffusion_head"], hcfg, noisy.astype(dtype), timesteps.astype(jnp.float32), cond.astype(dtype)
+    ).astype(jnp.float32)
+    if hcfg.prediction_type == "v_prediction":
+        target = noise_schedule.get_velocity(x0, noise, timesteps)
+    elif hcfg.prediction_type == "epsilon":
+        target = noise
+    else:
+        raise NotImplementedError(hcfg.prediction_type)
+
+    per_elem = jnp.square(pred - target)
+    elem_mask = jnp.repeat(loss_mask.reshape(-1), mul)[:, None]
+    speech_len = jnp.sum(loss_mask)
+    diffusion_loss = jnp.sum(per_elem * elem_mask) / d / mul / jnp.maximum(speech_len, 1)
+
+    total = opts.ce_loss_weight * ce + opts.diffusion_loss_weight * diffusion_loss
+    return TrainOut(
+        loss=total,
+        ce_loss=ce,
+        diffusion_loss=diffusion_loss,
+        speech_scaling_factor=scaling,
+        speech_bias_factor=bias,
+    )
