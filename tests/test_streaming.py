@@ -1,0 +1,136 @@
+"""Streaming 0.5B model tests: split-stack windows, voice presets, EOS,
+end-to-end generate (SURVEY.md §2.6, §3.2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vibevoice_tpu.configs import (
+    AcousticTokenizerConfig,
+    DiffusionHeadConfig,
+    Qwen2Config,
+    VibeVoiceStreamingConfig,
+)
+from vibevoice_tpu.models import streaming as st
+from vibevoice_tpu.models.inference import GenerateOptions
+from vibevoice_tpu.processor.streaming_processor import VibeVoiceStreamingProcessor
+from vibevoice_tpu.processor.text_tokenizer import FallbackTextTokenizer
+
+CFG = VibeVoiceStreamingConfig(
+    acoustic_tokenizer_config=AcousticTokenizerConfig(
+        vae_dim=16,
+        encoder_n_filters=4,
+        encoder_ratios=(4, 2),
+        encoder_depths=(1, 1, 2),
+        decoder_n_filters=4,
+    ),
+    decoder_config=Qwen2Config(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=1024,
+        rope_theta=10_000.0,
+    ),
+    diffusion_head_config=DiffusionHeadConfig(hidden_size=64, head_layers=2, latent_size=16),
+    tts_backbone_num_hidden_layers=2,
+)
+HOP = 8
+
+
+@pytest.fixture(scope="module")
+def params():
+    return st.init(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def preset(params):
+    prompt = np.random.RandomState(0).randint(10, 200, (1, 12))
+    return st.build_voice_preset(CFG, params, prompt, neg_prompt_id=3, max_len=256)
+
+
+def test_split_stacks(params):
+    assert len(params["language_model"]["layers"]) == 2
+    assert len(params["tts_language_model"]["layers"]) == 2
+
+
+def test_preset_roundtrip(tmp_path, preset):
+    p = str(tmp_path / "voice.npz")
+    preset.save(p)
+    back = st.VoicePreset.load(p)
+    np.testing.assert_array_equal(back.tts_h, preset.tts_h)
+    np.testing.assert_array_equal(back.lm_kv[0], preset.lm_kv[0])
+    assert int(back.lm_kv[2][0]) == 12
+
+
+def test_generate_produces_audio(params, preset):
+    tokenizer = FallbackTextTokenizer(vocab_size=256)
+    proc = VibeVoiceStreamingProcessor(tokenizer)
+    out_proc = proc.process_input_with_cached_prompt("hello streaming world test", preset)
+    assert out_proc.tts_text_ids.shape[1] == 4
+    assert out_proc.tts_lm_input_ids.shape[1] == 12
+
+    out = st.generate(
+        CFG,
+        params,
+        tts_text_ids=out_proc.tts_text_ids,
+        preset=preset,
+        opts=GenerateOptions(cfg_scale=1.5, ddpm_steps=3),
+        max_len=128,
+        seed=0,
+    )
+    audio = out.speech_outputs[0]
+    assert audio is not None
+    # every frame contributes exactly `hop` samples; the random-weight EOS
+    # classifier may end generation after any frame
+    assert len(audio) % HOP == 0
+    assert len(audio) >= HOP
+
+
+def test_generate_deterministic(params, preset):
+    tts_text = np.random.RandomState(1).randint(10, 200, (1, 7))
+    kw = dict(
+        tts_text_ids=tts_text,
+        preset=preset,
+        opts=GenerateOptions(cfg_scale=1.5, ddpm_steps=3),
+        max_len=96,
+        seed=3,
+    )
+    a = st.generate(CFG, params, **kw)
+    b = st.generate(CFG, params, **kw)
+    np.testing.assert_array_equal(a.speech_outputs[0], b.speech_outputs[0])
+
+
+def test_streamer_receives_chunks(params, preset):
+    from vibevoice_tpu.streamer import AudioStreamer
+
+    streamer = AudioStreamer(batch_size=1)
+    tts_text = np.random.RandomState(2).randint(10, 200, (1, 5))
+    st.generate(
+        CFG,
+        params,
+        tts_text_ids=tts_text,
+        preset=preset,
+        opts=GenerateOptions(cfg_scale=1.5, ddpm_steps=3),
+        max_len=96,
+        audio_streamer=streamer,
+    )
+    chunks = list(streamer.get_stream(0))
+    assert chunks and all(len(c) == HOP for c in chunks)
+
+
+def test_text_window_padding(params, preset):
+    """Last partial text window (< 5 tokens) is right-padded with a valid
+    mask; generation still runs."""
+    out = st.generate(
+        CFG,
+        params,
+        tts_text_ids=np.array([[11, 12]]),  # 2 < TTS_TEXT_WINDOW_SIZE
+        preset=preset,
+        opts=GenerateOptions(cfg_scale=1.5, ddpm_steps=3),
+        max_len=96,
+    )
+    assert out.speech_outputs[0] is not None

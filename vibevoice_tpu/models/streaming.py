@@ -1,0 +1,395 @@
+"""Streaming VibeVoice model (0.5B): split-LM real-time TTS.
+
+Re-designs the reference streaming family (reference
+modeling_vibevoice_streaming.py:108-206, modeling_vibevoice_streaming_inference.py:93-751):
+
+* The Qwen2 stack is split: a lower text LM (final norm skipped) and an upper
+  TTS LM sharing nothing but the tokenizer embedding. Both are plain qwen2
+  parameter trees here; the split is expressed with `layer_range` /
+  `skip_final_norm` on one forward implementation.
+* A 2-entry type embedding marks text(1)/speech(0) inputs to the TTS LM
+  (reference :146, :292).
+* A binary EOS classifier on the TTS LM hidden state ends generation
+  (reference :42-53, :689-694).
+* Generation interleaves 5-token text windows with 6-frame speech windows
+  (reference :41-42, :553-702). Both window bodies are single jitted
+  functions; the speech window is a 6-step `lax.scan` so time-to-first-audio
+  is prefill + one text window + one frame of the scanned program.
+* Voice presets are prefilled KV caches + last hidden states for the four
+  streams (lm, tts_lm, neg_lm, neg_tts_lm), matching the reference's `.pt`
+  format (reference demo/streaming_inference_from_file.py:288-291).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import VibeVoiceStreamingConfig
+from ..schedule import dpm_solver as dpm
+from . import diffusion_head as dh
+from . import qwen2
+from . import tokenizer as tok
+from . import vibevoice as vv
+
+TTS_TEXT_WINDOW_SIZE = 5  # reference modeling_vibevoice_streaming_inference.py:41
+TTS_SPEECH_WINDOW_SIZE = 6  # reference :42
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: VibeVoiceStreamingConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 7)
+    h = cfg.decoder_config.hidden_size
+    import dataclasses
+
+    lower_cfg = dataclasses.replace(
+        cfg.decoder_config, num_hidden_layers=cfg.lm_num_hidden_layers
+    )
+    upper_cfg = dataclasses.replace(
+        cfg.decoder_config, num_hidden_layers=cfg.tts_backbone_num_hidden_layers
+    )
+    std = cfg.decoder_config.initializer_range
+
+    def lin(k, cin, cout):
+        return {
+            "w": (jax.random.normal(k, (cin, cout), jnp.float32) * std).astype(dtype),
+            "b": jnp.zeros((cout,), dtype),
+        }
+
+    kc = jax.random.split(ks[5], 2)
+    return {
+        "language_model": qwen2.init(ks[0], lower_cfg, dtype),
+        "tts_language_model": qwen2.init(ks[1], upper_cfg, dtype),
+        "tts_input_types": (jax.random.normal(ks[2], (2, h), jnp.float32) * std).astype(dtype),
+        "tts_eos_classifier": {"fc1": lin(kc[0], h, h), "fc2": lin(kc[1], h, 1)},
+        "acoustic_tokenizer": tok.init_acoustic_tokenizer(ks[3], cfg.acoustic_tokenizer_config, dtype),
+        "acoustic_connector": vv.init_connector(ks[4], cfg.acoustic_vae_dim, h, dtype),
+        "diffusion_head": dh.init(ks[6], cfg.diffusion_head_config, dtype),
+        "speech_scaling_factor": jnp.asarray(1.0, jnp.float32),
+        "speech_bias_factor": jnp.asarray(0.0, jnp.float32),
+    }
+
+
+def _lower_cfg(cfg: VibeVoiceStreamingConfig):
+    import dataclasses
+
+    return dataclasses.replace(cfg.decoder_config, num_hidden_layers=cfg.lm_num_hidden_layers)
+
+
+def _upper_cfg(cfg: VibeVoiceStreamingConfig):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg.decoder_config, num_hidden_layers=cfg.tts_backbone_num_hidden_layers
+    )
+
+
+def eos_logit(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """BinaryClassifier: Linear -> ReLU -> Linear -> 1 (reference :42-53)."""
+    p = params["tts_eos_classifier"]
+    x = jnp.dot(h, p["fc1"]["w"].astype(h.dtype)) + p["fc1"]["b"].astype(h.dtype)
+    x = jax.nn.relu(x)
+    return jnp.dot(x, p["fc2"]["w"].astype(x.dtype)) + p["fc2"]["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Streaming state / voice presets
+# ---------------------------------------------------------------------------
+
+
+class StreamState(NamedTuple):
+    lm_cache: qwen2.KVCache
+    tts_cache: qwen2.KVCache
+    neg_tts_cache: qwen2.KVCache
+    dec_state: Dict
+    tts_h: jnp.ndarray  # (B, H) last TTS hidden
+    neg_tts_h: jnp.ndarray  # (B, H)
+    finished: jnp.ndarray  # (B,) bool
+
+
+@dataclass
+class VoicePreset:
+    """Prefilled prompt state for the four streams. `kv` entries are
+    (k, v, length) with k/v shaped (L, 1, S, KH, D); `h` are (1, H) last
+    hidden states. Mirrors the reference `.pt` schema (§2.6)."""
+
+    lm_kv: tuple
+    tts_kv: tuple
+    neg_tts_kv: tuple
+    lm_h: np.ndarray
+    tts_h: np.ndarray
+    neg_tts_h: np.ndarray
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            lm_k=self.lm_kv[0], lm_v=self.lm_kv[1], lm_len=self.lm_kv[2],
+            tts_k=self.tts_kv[0], tts_v=self.tts_kv[1], tts_len=self.tts_kv[2],
+            neg_tts_k=self.neg_tts_kv[0], neg_tts_v=self.neg_tts_kv[1], neg_tts_len=self.neg_tts_kv[2],
+            lm_h=self.lm_h, tts_h=self.tts_h, neg_tts_h=self.neg_tts_h,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "VoicePreset":
+        z = np.load(path)
+        return cls(
+            lm_kv=(z["lm_k"], z["lm_v"], z["lm_len"]),
+            tts_kv=(z["tts_k"], z["tts_v"], z["tts_len"]),
+            neg_tts_kv=(z["neg_tts_k"], z["neg_tts_v"], z["neg_tts_len"]),
+            lm_h=z["lm_h"], tts_h=z["tts_h"], neg_tts_h=z["neg_tts_h"],
+        )
+
+
+def _cache_from_kv(cfg, kv, max_len: int, dtype) -> qwen2.KVCache:
+    k, v, length = kv
+    L, b, s, kh, d = k.shape
+    cache = qwen2.make_cache(cfg, b, max_len, dtype)
+    ck = cache.k.at[:, :, :s].set(jnp.asarray(k, dtype))
+    cv = cache.v.at[:, :, :s].set(jnp.asarray(v, dtype))
+    return qwen2.KVCache(k=ck, v=cv, length=jnp.asarray(length, jnp.int32).reshape(b))
+
+
+def init_stream_state(
+    cfg: VibeVoiceStreamingConfig,
+    params: Params,
+    preset: VoicePreset,
+    max_len: int,
+) -> StreamState:
+    dtype = params["language_model"]["embed"].dtype
+    return StreamState(
+        lm_cache=_cache_from_kv(_lower_cfg(cfg), preset.lm_kv, max_len, dtype),
+        tts_cache=_cache_from_kv(_upper_cfg(cfg), preset.tts_kv, max_len, dtype),
+        neg_tts_cache=_cache_from_kv(_upper_cfg(cfg), preset.neg_tts_kv, max_len, dtype),
+        dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, 1, dtype),
+        tts_h=jnp.asarray(preset.tts_h, dtype),
+        neg_tts_h=jnp.asarray(preset.neg_tts_h, dtype),
+        finished=jnp.zeros((1,), bool),
+    )
+
+
+def build_voice_preset(
+    cfg: VibeVoiceStreamingConfig,
+    params: Params,
+    prompt_ids: np.ndarray,
+    *,
+    neg_prompt_id: int,
+    max_len: int = 512,
+) -> VoicePreset:
+    """Prefill all four streams from a voice-prompt token sequence (the
+    framework-native analog of building the reference's `.pt` presets;
+    negative prompt is a single pad token, reference :467, :483-507)."""
+    dtype = params["language_model"]["embed"].dtype
+    lcfg, ucfg = _lower_cfg(cfg), _upper_cfg(cfg)
+    ids = jnp.asarray(prompt_ids, jnp.int32).reshape(1, -1)
+
+    def prefill(token_ids):
+        embeds = qwen2.embed_tokens(params["language_model"], token_ids)
+        lm_cache = qwen2.make_cache(lcfg, 1, max_len, dtype)
+        h, lm_cache = qwen2.forward(
+            lcfg, params["language_model"], embeds, cache=lm_cache, skip_final_norm=True
+        )
+        tts_in = h + params["tts_input_types"][1][None, None, :].astype(h.dtype)
+        tts_cache = qwen2.make_cache(ucfg, 1, max_len, dtype)
+        th, tts_cache = qwen2.forward(ucfg, params["tts_language_model"], tts_in, cache=tts_cache)
+        return lm_cache, tts_cache, h[:, -1], th[:, -1]
+
+    lm_cache, tts_cache, lm_h, tts_h = prefill(ids)
+    neg_ids = jnp.full((1, 1), neg_prompt_id, jnp.int32)
+    _, neg_tts_cache, _, neg_tts_h = prefill(neg_ids)
+
+    def kv(c):
+        ln = int(c.length[0])
+        return (np.asarray(c.k[:, :, :ln], np.float32), np.asarray(c.v[:, :, :ln], np.float32), np.asarray(c.length))
+
+    return VoicePreset(
+        lm_kv=kv(lm_cache),
+        tts_kv=kv(tts_cache),
+        neg_tts_kv=kv(neg_tts_cache),
+        lm_h=np.asarray(lm_h, np.float32),
+        tts_h=np.asarray(tts_h, np.float32),
+        neg_tts_h=np.asarray(neg_tts_h, np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jitted window functions
+# ---------------------------------------------------------------------------
+
+
+def make_window_fns(cfg: VibeVoiceStreamingConfig, opts):
+    """Returns (text_window_fn, speech_window_fn), both jitted with donated
+    state. `opts` is inference.GenerateOptions (cfg_scale/ddpm_steps used)."""
+    lcfg, ucfg = _lower_cfg(cfg), _upper_cfg(cfg)
+    acfg = cfg.acoustic_tokenizer_config
+    hcfg = cfg.diffusion_head_config
+    coeffs = dpm.make_solver(
+        opts.ddpm_steps,
+        num_train_timesteps=hcfg.ddpm_num_steps,
+        beta_schedule=hcfg.ddpm_beta_schedule,
+        prediction_type=hcfg.prediction_type,
+        algorithm_type="sde-dpmsolver++" if opts.sde else "dpmsolver++",
+    )
+
+    def text_window(params, state: StreamState, text_ids, valid):
+        """Feed a (1, W<=5) text window through lm -> tts_lm (reference
+        :590-610)."""
+        embeds = qwen2.embed_tokens(params["language_model"], text_ids)
+        h, lm_cache = qwen2.forward(
+            lcfg, params["language_model"], embeds, valid_mask=valid,
+            cache=state.lm_cache, skip_final_norm=True,
+        )
+        tts_in = h + params["tts_input_types"][1][None, None, :].astype(h.dtype)
+        th, tts_cache = qwen2.forward(
+            ucfg, params["tts_language_model"], tts_in, valid_mask=valid, cache=state.tts_cache
+        )
+        # last VALID hidden (right-padded window)
+        last = jnp.maximum(jnp.sum(valid.astype(jnp.int32), axis=1) - 1, 0)
+        tts_h = th[jnp.arange(th.shape[0]), last]
+        return state._replace(lm_cache=lm_cache, tts_cache=tts_cache, tts_h=tts_h)
+
+    def speech_frame(params, carry, key):
+        state = carry
+        b = state.tts_h.shape[0]
+        dtype = params["language_model"]["embed"].dtype
+        k_lat, k_sde = jax.random.split(key)
+        head_fn = lambda x, t, c: dh.apply(params["diffusion_head"], hcfg, x, t, c)
+        x_init = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+        latent = dpm.cfg_sample(
+            coeffs, head_fn, state.tts_h, state.neg_tts_h, opts.cfg_scale, x_init,
+            key=k_sde if opts.sde else None,
+        )
+        scaled = latent / params["speech_scaling_factor"] - params["speech_bias_factor"]
+        audio, dec_state = tok.decode(
+            acfg, params["acoustic_tokenizer"], scaled[:, None, :].astype(dtype), state.dec_state
+        )
+        acoustic_embed = vv.connector_apply(params["acoustic_connector"], latent.astype(dtype))
+        tts_in = (acoustic_embed + params["tts_input_types"][0][None, :].astype(dtype))[:, None, :]
+        th, tts_cache = qwen2.forward(ucfg, params["tts_language_model"], tts_in, cache=state.tts_cache)
+        nh, neg_tts_cache = qwen2.forward(
+            ucfg, params["tts_language_model"], tts_in, cache=state.neg_tts_cache
+        )
+        eos_p = jax.nn.sigmoid(eos_logit(params, th[:, 0]).astype(jnp.float32))[:, 0]
+        new_state = state._replace(
+            tts_cache=tts_cache,
+            neg_tts_cache=neg_tts_cache,
+            dec_state=dec_state,
+            tts_h=th[:, 0],
+            neg_tts_h=nh[:, 0],
+            finished=state.finished | (eos_p > 0.5),
+        )
+        return new_state, (audio, eos_p)
+
+    def speech_window(params, state: StreamState, key):
+        """Six diffusion frames as a lax.scan (reference :613-694).
+        Returns (state, audio (6, B, hop, 1), eos_probs (6, B))."""
+        keys = jax.random.split(key, TTS_SPEECH_WINDOW_SIZE)
+        state, (audio, eos) = jax.lax.scan(
+            lambda c, k: speech_frame(params, c, k), state, keys
+        )
+        return state, audio, eos
+
+    def single_frame(params, state: StreamState, key):
+        """One diffusion frame (for minimum time-to-first-audio)."""
+        state, (audio, eos) = speech_frame(params, state, key)
+        return state, audio, eos
+
+    return (
+        jax.jit(text_window, donate_argnums=(1,)),
+        jax.jit(speech_window, donate_argnums=(1,)),
+        jax.jit(single_frame, donate_argnums=(1,)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host generate loop
+# ---------------------------------------------------------------------------
+
+
+def generate(
+    cfg: VibeVoiceStreamingConfig,
+    params: Params,
+    *,
+    tts_text_ids: np.ndarray,
+    preset: VoicePreset,
+    opts=None,
+    max_len: int = 2048,
+    seed: int = 0,
+    audio_streamer=None,
+    stop_check_fn=None,
+    window_fns=None,
+):
+    """Windowed streaming generation, batch 1 (reference :412-725)."""
+    from .inference import GenerateOptions, GenerationOutput
+
+    opts = opts or GenerateOptions(cfg_scale=1.5, ddpm_steps=5)
+    if window_fns is None:
+        window_fns = make_window_fns(cfg, opts)
+    text_window_fn, speech_window_fn, _ = window_fns
+
+    state = init_stream_state(cfg, params, preset, max_len)
+    key = jax.random.PRNGKey(seed)
+
+    text = np.asarray(tts_text_ids).reshape(1, -1)
+    n_text = text.shape[1]
+    w = TTS_TEXT_WINDOW_SIZE
+    audio_chunks: List[np.ndarray] = []
+    text_pos = 0
+    max_steps = max_len - int(preset.tts_kv[2][0])
+    steps = 0
+    sequences = [text]
+
+    while True:
+        if stop_check_fn is not None and stop_check_fn():
+            break
+        if bool(np.asarray(state.finished).all()):
+            break
+        if steps >= max_steps:
+            break
+
+        if text_pos < n_text:
+            chunk = text[:, text_pos : text_pos + w]
+            text_pos += chunk.shape[1]
+            pad = w - chunk.shape[1]
+            valid = np.ones((1, w), bool)
+            if pad:
+                valid[:, chunk.shape[1] :] = False
+                chunk = np.pad(chunk, ((0, 0), (0, pad)))
+            state = text_window_fn(params, state, jnp.asarray(chunk, jnp.int32), jnp.asarray(valid))
+            steps += int(valid.sum())
+
+        key, sk = jax.random.split(key)
+        state, audio, eos = speech_window_fn(params, state, sk)
+        steps += TTS_SPEECH_WINDOW_SIZE
+        audio_np = np.asarray(audio)  # (6, 1, hop, 1)
+        eos_np = np.asarray(eos)  # (6, 1)
+        # frames after the first EOS-triggering frame are discarded
+        keep = TTS_SPEECH_WINDOW_SIZE
+        hit = np.nonzero(eos_np[:, 0] > 0.5)[0]
+        if hit.size:
+            keep = int(hit[0]) + 1
+        for f in range(keep):
+            audio_chunks.append(audio_np[f, 0, :, 0])
+            if audio_streamer is not None:
+                audio_streamer.put([audio_np[f, 0, :, 0]], [0])
+        if audio_streamer is not None and hit.size:
+            audio_streamer.end([0])
+
+    if audio_streamer is not None:
+        audio_streamer.end()
+
+    return GenerationOutput(
+        sequences=np.asarray(sequences[0]),
+        speech_outputs=[np.concatenate(audio_chunks) if audio_chunks else None],
+        reach_max_step_sample=np.asarray([steps >= max_steps]),
+    )
