@@ -1,0 +1,170 @@
+"""HF-ecosystem checkpoint interop: sharded safetensors / torch .bin ->
+parameter pytrees, plus native save/load.
+
+The reference distributes checkpoints via `save_pretrained` sharded
+safetensors with `config.json` (SURVEY.md §5 checkpoint/resume). State-dict
+prefixes follow VibeVoiceForConditionalGenerationInference
+(reference modeling_vibevoice_inference.py:68-85) and
+VibeVoiceStreamingForConditionalGenerationInference
+(reference modeling_vibevoice_streaming_inference.py:93-117).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import VibeVoiceConfig, VibeVoiceStreamingConfig
+from . import torch_convert as tc
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load all weight files in a checkpoint dir into one flat numpy dict."""
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(os.listdir(path))
+    st_files = [f for f in files if f.endswith(".safetensors")]
+    bin_files = [f for f in files if f.endswith(".bin") and "pytorch_model" in f]
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            try:
+                sd.update(load_file(os.path.join(path, f)))
+            except Exception:
+                # bf16 tensors may not map to numpy directly; go through torch
+                from safetensors.torch import load_file as tload
+
+                sd.update({k: v.float().numpy() for k, v in tload(os.path.join(path, f)).items()})
+    elif bin_files:
+        import torch
+
+        for f in bin_files:
+            chunk = torch.load(os.path.join(path, f), map_location="cpu", weights_only=True)
+            sd.update({k: v.float().numpy() for k, v in chunk.items()})
+    else:
+        raise FileNotFoundError(f"no safetensors/bin weights found in {path}")
+    return sd
+
+
+def _to_dtype(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
+def convert_full_model(sd: Dict, cfg: VibeVoiceConfig) -> Dict:
+    """State dict of VibeVoice(ForConditionalGeneration[Inference]) -> pytree."""
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    p = {
+        "lm": tc.convert_qwen2(sd, cfg.decoder_config, prefix + "language_model"),
+        "acoustic_tokenizer": tc.convert_acoustic_tokenizer(
+            sd, cfg.acoustic_tokenizer_config, prefix + "acoustic_tokenizer"
+        ),
+        "semantic_tokenizer": tc.convert_semantic_tokenizer(
+            sd, cfg.semantic_tokenizer_config, prefix + "semantic_tokenizer"
+        ),
+        "acoustic_connector": tc.convert_speech_connector(sd, prefix + "acoustic_connector"),
+        "semantic_connector": tc.convert_speech_connector(sd, prefix + "semantic_connector"),
+        "diffusion_head": tc.convert_diffusion_head(
+            sd, cfg.diffusion_head_config, prefix + "prediction_head"
+        ),
+        "speech_scaling_factor": jnp.asarray(
+            sd.get(prefix + "speech_scaling_factor", np.float32(1.0))
+        ).reshape(()),
+        "speech_bias_factor": jnp.asarray(
+            sd.get(prefix + "speech_bias_factor", np.float32(0.0))
+        ).reshape(()),
+    }
+    if not cfg.decoder_config.tie_word_embeddings and "lm_head.weight" in sd:
+        p["lm_head"] = jnp.asarray(np.asarray(sd["lm_head.weight"]))
+    return p
+
+
+def convert_streaming_model(sd: Dict, cfg: VibeVoiceStreamingConfig) -> Dict:
+    import dataclasses
+
+    prefix = "model." if any(k.startswith("model.language_model") for k in sd) else ""
+    lower_cfg = dataclasses.replace(cfg.decoder_config, num_hidden_layers=cfg.lm_num_hidden_layers)
+    upper_cfg = dataclasses.replace(
+        cfg.decoder_config, num_hidden_layers=cfg.tts_backbone_num_hidden_layers
+    )
+    lower = tc.convert_qwen2_headless(sd, lower_cfg, prefix + "language_model")
+    upper = tc.convert_qwen2_headless(sd, upper_cfg, prefix + "tts_language_model")
+    return {
+        "language_model": lower,
+        "tts_language_model": upper,
+        "tts_input_types": tc.vec(sd[prefix + "tts_input_types.weight"]),
+        "tts_eos_classifier": {
+            "fc1": tc._linear_params(sd, "tts_eos_classifier.fc1"),
+            "fc2": tc._linear_params(sd, "tts_eos_classifier.fc2"),
+        },
+        "acoustic_tokenizer": tc.convert_acoustic_tokenizer(
+            sd, cfg.acoustic_tokenizer_config, prefix + "acoustic_tokenizer"
+        ),
+        "acoustic_connector": tc.convert_speech_connector(sd, prefix + "acoustic_connector"),
+        "diffusion_head": tc.convert_diffusion_head(
+            sd, cfg.diffusion_head_config, prefix + "prediction_head"
+        ),
+        "speech_scaling_factor": jnp.asarray(
+            sd.get(prefix + "speech_scaling_factor", np.float32(1.0))
+        ).reshape(()),
+        "speech_bias_factor": jnp.asarray(
+            sd.get(prefix + "speech_bias_factor", np.float32(0.0))
+        ).reshape(()),
+    }
+
+
+def load_checkpoint(path: str, dtype: str = "bfloat16") -> Tuple[VibeVoiceConfig, Dict, object]:
+    """Load (config, params, processor) from an HF-style checkpoint dir."""
+    from ..processor.processor import VibeVoiceProcessor
+
+    cfg = VibeVoiceConfig.from_json_file(os.path.join(path, "config.json"))
+    sd = _load_state_dict(path)
+    params = convert_full_model(sd, cfg)
+    params = _to_dtype(params, jnp.dtype(dtype))
+    processor = VibeVoiceProcessor.from_pretrained(path)
+    return cfg, params, processor
+
+
+def load_streaming_checkpoint(path: str, dtype: str = "bfloat16"):
+    from ..processor.streaming_processor import VibeVoiceStreamingProcessor
+
+    cfg = VibeVoiceStreamingConfig.from_json_file(os.path.join(path, "config.json"))
+    sd = _load_state_dict(path)
+    params = convert_streaming_model(sd, cfg)
+    params = _to_dtype(params, jnp.dtype(dtype))
+    processor = VibeVoiceStreamingProcessor.from_pretrained(path)
+    return cfg, params, processor
+
+
+# ---------------------------------------------------------------------------
+# Native checkpointing (orbax-free pickle of numpy pytrees + config JSON)
+# ---------------------------------------------------------------------------
+
+
+def save_native(path: str, cfg, params: Dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    import dataclasses
+
+    def to_jsonable(c):
+        return dataclasses.asdict(c)
+
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(to_jsonable(cfg), f, indent=2, default=str)
+    host = jax.tree.map(lambda x: np.asarray(x), params)
+    with open(os.path.join(path, "params.pkl"), "wb") as f:
+        pickle.dump(host, f)
+
+
+def load_native(path: str, streaming: bool = False):
+    cls = VibeVoiceStreamingConfig if streaming else VibeVoiceConfig
+    cfg = cls.from_json_file(os.path.join(path, "config.json"))
+    with open(os.path.join(path, "params.pkl"), "rb") as f:
+        params = pickle.load(f)
+    return cfg, jax.tree.map(jnp.asarray, params)

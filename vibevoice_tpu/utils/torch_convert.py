@@ -196,3 +196,35 @@ def convert_qwen2(sd: Dict, cfg, prefix: str = "") -> Dict:
         "layers": layers,
         "final_norm": {"w": vec(sd[f"{pre}norm.weight"])},
     }
+
+
+def convert_qwen2_headless(sd: Dict, cfg, prefix: str = "") -> Dict:
+    """Like convert_qwen2 but tolerates a missing final norm (the streaming
+    model's lower stack replaces it with Identity, reference
+    modeling_vibevoice_streaming.py:138) and a missing/unused embed table
+    (upper stack, reference :141-143)."""
+    import numpy as np
+
+    pre = prefix + "." if prefix else ""
+    full = convert_qwen2(
+        {
+            **sd,
+            **(
+                {}
+                if f"{pre}norm.weight" in sd
+                else {f"{pre}norm.weight": np.ones((cfg.hidden_size,), np.float32)}
+            ),
+            **(
+                {}
+                if f"{pre}embed_tokens.weight" in sd
+                else {
+                    f"{pre}embed_tokens.weight": np.zeros(
+                        (cfg.vocab_size, cfg.hidden_size), np.float32
+                    )
+                }
+            ),
+        },
+        cfg,
+        prefix,
+    )
+    return full
