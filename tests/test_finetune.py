@@ -1,0 +1,172 @@
+"""Fine-tune subsystem tests: loss semantics, LoRA, EMA, collator."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vibevoice_tpu.configs import tiny_config
+from vibevoice_tpu.finetune import data as fdata
+from vibevoice_tpu.finetune.ema import init_ema, swap_in_ema, update_ema
+from vibevoice_tpu.finetune.loss import Batch, TrainOptions, train_forward
+from vibevoice_tpu.finetune.lora import LoraConfig, apply_lora, init_lora
+from vibevoice_tpu.models import vibevoice as vv
+from vibevoice_tpu.processor.processor import VibeVoiceProcessor
+from vibevoice_tpu.processor.text_tokenizer import FallbackTextTokenizer
+
+CFG = tiny_config()
+HOP = CFG.acoustic_tokenizer_config.hop_length
+
+
+@pytest.fixture(scope="module")
+def params():
+    p = dict(vv.init(jax.random.PRNGKey(0), CFG))
+    p["speech_scaling_factor"] = jnp.asarray(float("nan"))
+    p["speech_bias_factor"] = jnp.asarray(float("nan"))
+    return p
+
+
+def make_batch(b=2, t=24, n_frames=4):
+    rng = np.random.RandomState(0)
+    ids = rng.randint(10, 100, (b, t)).astype(np.int32)
+    ain = np.zeros((b, t), bool)
+    ain[:, 6 : 6 + n_frames] = True
+    return Batch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((b, t), bool),
+        speech_tensors=jnp.asarray(rng.randn(b, HOP * n_frames).astype(np.float32)),
+        speech_masks=jnp.ones((b, n_frames), bool),
+        speech_semantic_tensors=jnp.asarray(
+            rng.randn(b, n_frames, CFG.semantic_vae_dim).astype(np.float32)
+        ),
+        speeches_loss_input=jnp.ones((b,), bool),
+        acoustic_input_mask=jnp.asarray(ain),
+        acoustic_loss_mask=jnp.asarray(ain),
+    )
+
+
+def test_train_forward_finite_and_stats_init(params):
+    out = train_forward(CFG, params, make_batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(out.loss))
+    assert np.isfinite(float(out.ce_loss))
+    assert np.isfinite(float(out.diffusion_loss))
+    # NaN buffers -> initialised from first batch (reference :307-323)
+    assert np.isfinite(float(out.speech_scaling_factor))
+    assert np.isfinite(float(out.speech_bias_factor))
+
+
+def test_diffusion_loss_near_one_at_zero_init(params):
+    """Zero-init head predicts 0; v-target MSE/latent_size ~= E||v||^2/d ~= 1."""
+    out = train_forward(CFG, params, make_batch(), jax.random.PRNGKey(2))
+    assert 0.5 < float(out.diffusion_loss) < 2.0
+
+
+def test_grads_flow(params):
+    def loss(p):
+        return train_forward(CFG, p, make_batch(), jax.random.PRNGKey(3)).loss
+
+    g = jax.grad(loss)(params)
+    # adaLN-zero: the head's FFN weights get no grad on step one, but the
+    # zero-init final projection does (its input is nonzero)
+    gh = g["diffusion_head"]["final"]["linear"]["w"]
+    assert float(jnp.abs(gh).sum()) > 0
+    glm = g["lm"]["layers"][0]["attn"]["q"]["w"]
+    assert float(jnp.abs(glm).sum()) > 0
+
+
+def test_lora_zero_init_is_identity(params):
+    cfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora(jax.random.PRNGKey(4), params, cfg)
+    merged = apply_lora(params, lora, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(merged["lm"]["layers"][0]["attn"]["q"]["w"]),
+        np.asarray(params["lm"]["layers"][0]["attn"]["q"]["w"]),
+    )
+
+
+def test_lora_grads_only_through_adapters(params):
+    cfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora(jax.random.PRNGKey(5), params, cfg)
+
+    def loss(lo):
+        merged = apply_lora(params, lo, cfg)
+        return train_forward(CFG, merged, make_batch(), jax.random.PRNGKey(6)).loss
+
+    g = jax.grad(loss)(lora)
+    # b is zero-init so dL/da = 0 on the first step, but dL/db must be nonzero
+    assert float(jnp.abs(g["lm_layers"][0]["q"]["b"]).sum()) > 0
+
+
+def test_ema_update_and_swap(params):
+    ema = init_ema(params["diffusion_head"])
+    new_head = jax.tree.map(lambda x: x + 1.0, params["diffusion_head"])
+    ema2 = update_ema(ema, new_head, decay=0.5)
+    w0 = np.asarray(params["diffusion_head"]["noisy_proj"]["w"])
+    np.testing.assert_allclose(
+        np.asarray(ema2["noisy_proj"]["w"]), w0 + 0.5, rtol=1e-5, atol=1e-6
+    )
+    swapped = swap_in_ema(params, ema2)
+    np.testing.assert_allclose(
+        np.asarray(swapped["diffusion_head"]["noisy_proj"]["w"]), w0 + 0.5, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_collator_shapes(params):
+    proc = VibeVoiceProcessor(
+        tokenizer=FallbackTextTokenizer(), speech_tok_compress_ratio=HOP
+    )
+    coll = fdata.VibeVoiceCollator(
+        processor=proc,
+        semantic_encode_fn=fdata.make_semantic_encode_fn(
+            CFG.semantic_tokenizer_config, params["semantic_tokenizer"]
+        ),
+        speech_compress_ratio=HOP,
+        semantic_vae_dim=CFG.semantic_vae_dim,
+        pre_silence_sec=0.0005,
+        post_silence_sec=0.001,
+        crossfade_sec=0.0005,
+    )
+    wav = np.random.RandomState(0).randn(HOP * 6).astype(np.float32) * 0.1
+    batch = coll(
+        [
+            {"text": "Speaker 1: hello", "audio": wav, "voice_prompts": [wav[: HOP * 2]]},
+            {"text": "Speaker 1: a longer second sample", "audio": wav},
+        ]
+    )
+    b, t = batch.input_ids.shape
+    assert b == 2
+    # voice prompt (sample 0) + two targets = 3 speech segments
+    assert batch.speech_tensors.shape[0] == 3
+    assert batch.speeches_loss_input.tolist() == [False, True, True]
+    # each row's loss mask is a subset of its input mask
+    assert not (batch.acoustic_loss_mask & ~batch.acoustic_input_mask).any()
+    # semantic features aligned with frame mask
+    assert batch.speech_semantic_tensors.shape[:2] == batch.speech_masks.shape
+    # target latent count matches loss-mask (per sample)
+    assert batch.acoustic_loss_mask[1].sum() == batch.speech_masks[2].sum()
+
+
+def test_collator_truncation_guard(params):
+    proc = VibeVoiceProcessor(
+        tokenizer=FallbackTextTokenizer(), speech_tok_compress_ratio=HOP
+    )
+    coll = fdata.VibeVoiceCollator(
+        processor=proc,
+        semantic_encode_fn=lambda w: np.zeros((w.shape[0], 1, CFG.semantic_vae_dim)),
+        speech_compress_ratio=HOP,
+        max_length=5,
+        pre_silence_sec=0.0,
+        post_silence_sec=0.0,
+        crossfade_sec=0.0,
+    )
+    wav = np.zeros(HOP * 8, np.float32)
+    with pytest.raises(ValueError, match="truncate into acoustic"):
+        coll([{"text": "Speaker 1: hello there friend", "audio": wav}])
+
+
+def test_silence_crossfade_lengths():
+    wav = np.ones(24_000, np.float32)
+    out = fdata.apply_silence_with_crossfade(wav)
+    assert len(out) == 24_000 + int(0.25 * 24_000) + int(0.75 * 24_000)
+    assert out[0] == 0.0 and out[-1] == 0.0
+    assert out[int(0.25 * 24_000) + 12_000] == 1.0  # middle untouched

