@@ -29,9 +29,10 @@ def main():
     from vibevoice_tpu.models import vibevoice as vv
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    steps = int(os.environ.get("BENCH_STEPS", "32"))
     max_len = int(os.environ.get("BENCH_MAX_LEN", "4096"))
     ddpm_steps = int(os.environ.get("BENCH_DDPM_STEPS", "10"))
+    frames_per_dispatch = int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", "8"))
 
     cfg = VibeVoiceConfig.from_json_file(
         os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json")
@@ -39,8 +40,10 @@ def main():
     dtype = jnp.bfloat16
     params = vv.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     tokens = inf.SpecialTokens()
-    opts = inf.GenerateOptions(ddpm_steps=ddpm_steps, max_length=max_len)
-    step = inf.make_step_fn(cfg, tokens, opts)
+    opts = inf.GenerateOptions(
+        ddpm_steps=ddpm_steps, max_length=max_len, frames_per_dispatch=frames_per_dispatch
+    )
+    step = inf.make_multi_step_fn(cfg, tokens, opts, frames_per_dispatch)
 
     carry = inf.DecodeCarry(
         pos_cache=qwen2.make_cache(cfg.decoder_config, batch, max_len, dtype),
@@ -51,24 +54,25 @@ def main():
         h_neg=jnp.zeros((batch, cfg.decoder_config.hidden_size), dtype),
         finished=jnp.zeros((batch,), bool),
     )
-    ext = jnp.zeros((batch,), bool)
+    ext = jnp.zeros((frames_per_dispatch, batch), bool)
     key = jax.random.PRNGKey(1)
 
     # warmup / compile
-    for i in range(3):
+    for i in range(2):
         key, sk = jax.random.split(key)
         carry, out = step(params, carry, sk, ext)
     jax.block_until_ready(out.audio)
 
+    n_dispatch = max(1, steps // frames_per_dispatch)
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(n_dispatch):
         key, sk = jax.random.split(key)
         carry, out = step(params, carry, sk, ext)
     jax.block_until_ready(out.audio)
     wall = time.perf_counter() - t0
 
     frame_sec = 3200 / 24_000
-    audio_sec = steps * frame_sec * batch
+    audio_sec = n_dispatch * frames_per_dispatch * frame_sec * batch
     rtf = audio_sec / wall
     print(
         json.dumps(

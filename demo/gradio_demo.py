@@ -1,0 +1,221 @@
+"""Gradio web UI for VibeVoice-TPU (parity with reference demo/gradio_demo.py):
+multi-speaker script entry, voice presets, live streaming playback via a
+background generation thread + AudioStreamer, stop button, cfg/steps/seed
+controls.
+
+Requires `gradio` (not bundled in this image); fails with a clear message
+otherwise. The model path may be an HF-style or native checkpoint; without
+--model_path a tiny random-weight smoke model is served.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SAMPLE_RATE = 24_000
+
+
+class VibeVoiceDemo:
+    """Generation backend shared by UI callbacks (reference gradio_demo.py:
+    model load :100-150, threaded generation :352-453, stop :610-618)."""
+
+    def __init__(self, model_path=None, ddpm_steps: int = 5, sde: bool = True):
+        import jax
+
+        from vibevoice_tpu.models import inference as inf
+        from vibevoice_tpu.models import vibevoice as vv
+
+        self.inf = inf
+        self.stop_flags = {}
+
+        if model_path:
+            from vibevoice_tpu.utils.hf_interop import load_checkpoint
+
+            self.cfg, self.params, self.processor = load_checkpoint(model_path)
+            tk = self.processor.tokenizer
+            self.tokens = inf.SpecialTokens(
+                speech_start=tk.speech_start_id,
+                speech_end=tk.speech_end_id,
+                speech_diffusion=tk.speech_diffusion_id,
+                eos=tk.eos_token_id,
+            )
+        else:
+            from vibevoice_tpu.configs import tiny_config
+            from vibevoice_tpu.processor.processor import VibeVoiceProcessor
+            from vibevoice_tpu.processor.text_tokenizer import FallbackTextTokenizer
+
+            self.cfg = tiny_config()
+            self.params = vv.init(jax.random.PRNGKey(0), self.cfg)
+            self.processor = VibeVoiceProcessor(
+                tokenizer=FallbackTextTokenizer(),
+                speech_tok_compress_ratio=self.cfg.acoustic_tokenizer_config.hop_length,
+            )
+            self.tokens = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2)
+        # the reference Gradio app runs the SDE-DPM-solver++ sampler
+        # (reference gradio_demo.py:142-147)
+        self.ddpm_steps = ddpm_steps
+        self.sde = sde
+        self._step_fns = {}
+
+    def _get_step_fn(self, opts):
+        key = (opts.cfg_scale, opts.ddpm_steps, opts.sde, opts.max_length)
+        if key not in self._step_fns:
+            self._step_fns[key] = self.inf.make_step_fn(self.cfg, self.tokens, opts)
+        return self._step_fns[key]
+
+    def generate_streaming(self, script: str, voice_paths, cfg_scale: float, steps: int, seed: int, session_id: str):
+        """Generator: yields (sample_rate, np.int16 audio) chunks for the UI."""
+        from vibevoice_tpu.streamer import AudioStreamer
+
+        self.stop_flags[session_id] = False
+        proc_out = self.processor(
+            text=script, voice_samples=[voice_paths] if voice_paths else None
+        )
+        opts = self.inf.GenerateOptions(
+            cfg_scale=cfg_scale,
+            ddpm_steps=int(steps),
+            sde=self.sde,
+            max_length=min(4096, self.cfg.decoder_config.max_position_embeddings),
+        )
+        streamer = AudioStreamer(batch_size=proc_out.input_ids.shape[0])
+        result = {}
+
+        def run():
+            result["out"] = self.inf.generate(
+                self.cfg,
+                self.params,
+                input_ids=proc_out.input_ids,
+                valid_mask=proc_out.attention_mask,
+                speech_tensors=proc_out.speech_tensors,
+                speech_frame_valid=proc_out.speech_masks,
+                speech_input_mask=proc_out.speech_input_mask,
+                tokens=self.tokens,
+                opts=opts,
+                seed=int(seed),
+                audio_streamer=streamer,
+                stop_check_fn=lambda: self.stop_flags.get(session_id, False),
+                step_fn=self._get_step_fn(opts),
+            )
+
+        thread = threading.Thread(target=run, daemon=True)
+        thread.start()
+
+        pending = []
+        pending_sec = 0.0
+        last_yield = time.time()
+        for _, chunk in streamer:
+            pending.append(chunk)
+            pending_sec += len(chunk) / SAMPLE_RATE
+            # buffer ~2s before yielding (reference buffers 15-30s for long
+            # generations; shorter here for responsiveness, :380-453)
+            if pending_sec >= 2.0 or (time.time() - last_yield) > 5.0:
+                audio = np.concatenate(pending)
+                yield SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+                pending, pending_sec, last_yield = [], 0.0, time.time()
+        if pending:
+            audio = np.concatenate(pending)
+            yield SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+        thread.join(timeout=30)
+
+    def stop(self, session_id: str):
+        self.stop_flags[session_id] = True
+
+
+def load_example_scripts(examples_dir: str):
+    scripts = []
+    if os.path.isdir(examples_dir):
+        for f in sorted(os.listdir(examples_dir)):
+            if f.endswith(".txt"):
+                with open(os.path.join(examples_dir, f)) as fh:
+                    text = fh.read()
+                # skip very long examples (reference skips >15 min, :620-648)
+                if len(text.split()) < 2500:
+                    scripts.append([text])
+    return scripts
+
+
+def build_ui(demo: VibeVoiceDemo, voices_dir: str):
+    import gradio as gr
+
+    voice_files = []
+    if os.path.isdir(voices_dir):
+        voice_files = [
+            os.path.join(voices_dir, f)
+            for f in sorted(os.listdir(voices_dir))
+            if f.endswith(".wav")
+        ]
+    voice_names = [os.path.splitext(os.path.basename(v))[0] for v in voice_files]
+
+    with gr.Blocks(title="VibeVoice TPU") as ui:
+        gr.Markdown("# VibeVoice TPU — multi-speaker long-form TTS")
+        with gr.Row():
+            with gr.Column():
+                script = gr.Textbox(
+                    label="Script",
+                    lines=8,
+                    placeholder="Speaker 1: Hello!\nSpeaker 2: Hi there!",
+                )
+                speakers = [
+                    gr.Dropdown(choices=voice_names, label=f"Speaker {i + 1} voice")
+                    for i in range(4)
+                ]
+                cfg_scale = gr.Slider(1.0, 3.0, value=1.3, step=0.05, label="CFG scale")
+                steps = gr.Slider(1, 50, value=demo.ddpm_steps, step=1, label="DDPM steps")
+                seed = gr.Number(value=42, label="Seed")
+                with gr.Row():
+                    go = gr.Button("Generate", variant="primary")
+                    stop = gr.Button("Stop")
+            with gr.Column():
+                audio_out = gr.Audio(label="Audio", streaming=True, autoplay=True)
+
+        session = gr.State(lambda: os.urandom(8).hex())
+
+        def on_go(script_text, *args):
+            *voices, cfgv, stepsv, seedv, sess = args
+            paths = [voice_files[voice_names.index(v)] for v in voices if v]
+            yield from demo.generate_streaming(script_text, paths or None, cfgv, stepsv, seedv, sess)
+
+        go.click(on_go, [script, *speakers, cfg_scale, steps, seed, session], audio_out)
+        stop.click(lambda sess: demo.stop(sess), [session], None)
+
+        examples = load_example_scripts(os.path.join(os.path.dirname(__file__), "text_examples"))
+        if examples:
+            gr.Examples(examples=examples, inputs=[script])
+    return ui
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", type=str, default=None)
+    ap.add_argument("--voices_dir", type=str, default=os.path.join(os.path.dirname(__file__), "voices"))
+    ap.add_argument("--ddpm_steps", type=int, default=5)
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--share", action="store_true")
+    args = ap.parse_args()
+
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        print(
+            "gradio is not installed in this environment. Install it to run the "
+            "web demo: pip install gradio\n"
+            "The CLI demos (demo/inference_from_file.py, "
+            "demo/streaming_inference_from_file.py) cover the same pipeline."
+        )
+        sys.exit(1)
+
+    demo = VibeVoiceDemo(args.model_path, ddpm_steps=args.ddpm_steps)
+    ui = build_ui(demo, args.voices_dir)
+    ui.queue(max_size=20).launch(server_port=args.port, share=args.share)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,25 @@ def test_splice_speech_features_ordering():
     np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(feats[1, 0]))
     np.testing.assert_allclose(np.asarray(out[1, 3]), np.asarray(feats[1, 1]))
     np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0)
+
+
+def test_generate_multi_frame_dispatch(params):
+    """frames_per_dispatch>1 (device-resident scan) keeps all invariants."""
+    ids = np.full((2, 10), 30, np.int64)
+    ids[:, -1] = TOKENS.speech_start
+    opts = inf.GenerateOptions(ddpm_steps=3, max_length=128, frames_per_dispatch=4)
+    out = inf.generate(CFG, params, input_ids=ids, tokens=TOKENS, opts=opts, seed=11)
+    gen = out.sequences[:, 10:]
+    assert set(np.unique(gen)).issubset(set(TOKENS.candidates))
+    for b in range(2):
+        toks = gen[b]
+        eos_pos = np.nonzero(toks == TOKENS.eos)[0]
+        end = eos_pos[0] if len(eos_pos) else len(toks)
+        n_diff = int((toks[:end] == TOKENS.speech_diffusion).sum())
+        audio = out.speech_outputs[b]
+        n_audio = 0 if audio is None else len(audio)
+        assert n_audio == n_diff * HOP
+
+    # deterministic across runs
+    out2 = inf.generate(CFG, params, input_ids=ids, tokens=TOKENS, opts=opts, seed=11)
+    np.testing.assert_array_equal(out.sequences, out2.sequences)

@@ -69,6 +69,7 @@ class GenerateOptions:
     max_length_times: float = 2.0
     max_length: Optional[int] = None  # defaults to LM context length
     sde: bool = False
+    frames_per_dispatch: int = 1  # >1 scans K frames per device dispatch
 
 
 class DecodeCarry(NamedTuple):
@@ -153,6 +154,11 @@ def prefill_fn(
 
 def make_step_fn(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions):
     """Builds the fused per-frame step function (jitted, carry donated)."""
+    return jax.jit(_make_step_body(cfg, tokens, opts), donate_argnums=(1,))
+
+
+def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions):
+    """Unjitted fused step body (shared by the single-step and scanned paths)."""
     lm_cfg = cfg.decoder_config
     acfg = cfg.acoustic_tokenizer_config
     scfg = cfg.semantic_tokenizer_config
@@ -166,7 +172,7 @@ def make_step_fn(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOpti
     )
     cand = jnp.asarray(tokens.candidates, jnp.int32)
 
-    def step(params, carry: DecodeCarry, key, ext_finish):
+    def step_body(params, carry: DecodeCarry, key, ext_finish):
         b = carry.h_pos.shape[0]
         k_tok, k_lat, k_sde = jax.random.split(key, 3)
 
@@ -254,7 +260,35 @@ def make_step_fn(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOpti
         out = StepOut(tokens=next_tok, audio=audio, audio_mask=diff_mask, finished=finished)
         return new_carry, out
 
-    return jax.jit(step, donate_argnums=(1,))
+    return step_body
+
+
+def make_multi_step_fn(
+    cfg: VibeVoiceConfig,
+    tokens: SpecialTokens,
+    opts: GenerateOptions,
+    frames_per_dispatch: int,
+):
+    """Device-resident loop: scans `frames_per_dispatch` fused frame steps in
+    one XLA dispatch, amortising host round-trips (the TPU answer to the
+    reference's per-step Python loop + CUDA-graph TODO, reference
+    modeling_vibevoice_inference.py:432-495).
+
+    Returns multi_step(params, carry, key, ext_finish (K, B)) ->
+    (carry, StepOut stacked over K)."""
+    single = _make_step_body(cfg, tokens, opts)
+
+    def multi(params, carry, key, ext_finish):
+        keys = jax.random.split(key, frames_per_dispatch)
+
+        def body(c, inp):
+            k, ext = inp
+            return single(params, c, k, ext)
+
+        carry, outs = jax.lax.scan(body, carry, (keys, ext_finish))
+        return carry, outs
+
+    return jax.jit(multi, donate_argnums=(1,))
 
 
 # ---------------------------------------------------------------------------
@@ -327,15 +361,19 @@ def generate(
         pk,
     )
 
+    k_frames = max(1, opts.frames_per_dispatch)
     if step_fn is None:
-        step_fn = make_step_fn(cfg, tokens, opts)
+        if k_frames > 1:
+            step_fn = make_multi_step_fn(cfg, tokens, opts, k_frames)
+        else:
+            step_fn = make_step_fn(cfg, tokens, opts)
 
     sequences = [input_ids]
     audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
     reach_max = np.zeros(b, bool)
     finished_host = np.zeros(b, bool)
 
-    iterator = range(max_steps)
+    iterator = range(0, max_steps, k_frames)
     if show_progress_bar:
         try:
             from tqdm import tqdm
@@ -355,29 +393,36 @@ def generate(
         if finished_host.all():
             break
 
-        ext_finish = step >= max_step_per_sample
-        newly_maxed = ext_finish & ~finished_host
-        reach_max |= newly_maxed
+        steps_now = np.arange(step, step + k_frames)
+        ext_finish = steps_now[:, None] >= max_step_per_sample[None, :]  # (K, B)
 
         key, sk = jax.random.split(key)
-        carry, out = step_fn(params, carry, sk, jnp.asarray(ext_finish))
+        if k_frames > 1:
+            carry, out = step_fn(params, carry, sk, jnp.asarray(ext_finish))
+            toks = np.asarray(out.tokens)  # (K, B)
+            amask = np.asarray(out.audio_mask)  # (K, B)
+            audio = np.asarray(out.audio) if amask.any() else None  # (K, B, hop, 1)
+            fin = np.asarray(out.finished)  # (K, B)
+        else:
+            carry, out = step_fn(params, carry, sk, jnp.asarray(ext_finish[0]))
+            toks = np.asarray(out.tokens)[None]
+            amask = np.asarray(out.audio_mask)[None]
+            audio = np.asarray(out.audio)[None] if amask.any() else None
+            fin = np.asarray(out.finished)[None]
 
-        toks = np.asarray(out.tokens)
-        amask = np.asarray(out.audio_mask)
-        new_finished = np.asarray(out.finished)
-
-        sequences.append(toks[:, None])
-        if amask.any():
-            audio = np.asarray(out.audio)  # (B, hop, 1)
-            for i in np.nonzero(amask)[0]:
-                audio_chunks[i].append(audio[i, :, 0])
-            if audio_streamer is not None:
-                audio_streamer.put(audio[amask, :, 0], np.nonzero(amask)[0])
-
-        newly_done = new_finished & ~finished_host
-        if newly_done.any() and audio_streamer is not None:
-            audio_streamer.end(np.nonzero(newly_done)[0])
-        finished_host = new_finished
+        for f in range(toks.shape[0]):
+            sequences.append(toks[f][:, None])
+            if amask[f].any():
+                for i in np.nonzero(amask[f])[0]:
+                    audio_chunks[i].append(audio[f, i, :, 0])
+                if audio_streamer is not None:
+                    audio_streamer.put(audio[f, amask[f], :, 0], np.nonzero(amask[f])[0])
+            newly_done = fin[f] & ~finished_host
+            if newly_done.any():
+                reach_max |= ext_finish[f] & newly_done
+                if audio_streamer is not None:
+                    audio_streamer.end(np.nonzero(newly_done)[0])
+            finished_host = fin[f]
 
     if audio_streamer is not None:
         audio_streamer.end()
