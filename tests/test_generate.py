@@ -143,3 +143,27 @@ def test_generate_multi_frame_dispatch(params):
     # deterministic across runs
     out2 = inf.generate(CFG, params, input_ids=ids, tokens=TOKENS, opts=opts, seed=11)
     np.testing.assert_array_equal(out.sequences, out2.sequences)
+
+
+def test_chunked_prefill_matches_single_shot(params):
+    """Chunked prefill (long-prompt path) produces the same carry state as
+    the one-shot prefill."""
+    rng = np.random.RandomState(5)
+    ids = rng.randint(10, 100, (2, 20)).astype(np.int64)
+    valid = np.ones((2, 20), bool)
+    valid[1, 15:] = False
+    ids_j = jnp.asarray(ids, jnp.int32)
+    valid_j = jnp.asarray(valid)
+    key = jax.random.PRNGKey(0)
+
+    a = inf.prefill_fn(CFG, params, ids_j, 64, valid_j, None, False, TOKENS, key)
+    b = inf.chunked_prefill(CFG, params, ids_j, valid_j, 64, TOKENS, key, chunk=6)
+    np.testing.assert_allclose(np.asarray(a.h_pos), np.asarray(b.h_pos), rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(a.pos_cache.length), np.asarray(b.pos_cache.length))
+    # cache contents agree on the valid prefix
+    for s in range(2):
+        n = int(a.pos_cache.length[s])
+        for la, lb in zip(a.pos_cache.k, b.pos_cache.k):
+            np.testing.assert_allclose(
+                np.asarray(la[s, :, :n]), np.asarray(lb[s, :, :n]), rtol=2e-5, atol=2e-5
+            )

@@ -70,6 +70,7 @@ class GenerateOptions:
     max_length: Optional[int] = None  # defaults to LM context length
     sde: bool = False
     frames_per_dispatch: int = 1  # >1 scans K frames per device dispatch
+    prefill_chunk: int = 2048  # prompts longer than this prefill in chunks
 
 
 class DecodeCarry(NamedTuple):
@@ -152,6 +153,86 @@ def prefill_fn(
     )
 
 
+@partial(jax.jit, static_argnums=(0, 3, 5))
+def _prefill_init_fn(cfg: VibeVoiceConfig, params, ids_shape_b, max_len: int, key, tokens: SpecialTokens):
+    """Allocate caches + negative-stream prefill + conv states (the
+    T-independent part of prefill, shared by the chunked path)."""
+    b = ids_shape_b.shape[0]
+    lm_cfg = cfg.decoder_config
+    dtype = params["lm"]["embed"].dtype
+    pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    neg_ids = jnp.full((b, 1), tokens.speech_start, jnp.int32)
+    neg_embeds = qwen2.embed_tokens(params["lm"], neg_ids)
+    neg_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    h_neg, neg_cache = qwen2.forward(lm_cfg, params["lm"], neg_embeds, cache=neg_cache)
+    dec_state = tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype)
+    sem_state = tok.init_encoder_state(cfg.semantic_tokenizer_config, b, dtype)
+    return DecodeCarry(
+        pos_cache=pos_cache,
+        neg_cache=neg_cache,
+        dec_state=dec_state,
+        sem_state=sem_state,
+        h_pos=jnp.zeros((b, lm_cfg.hidden_size), dtype),
+        h_neg=h_neg[:, 0],
+        finished=jnp.zeros((b,), bool),
+    )
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def _prefill_chunk_fn(cfg: VibeVoiceConfig, params, carry: DecodeCarry, embeds, valid, lengths, chunk_start):
+    """Run one prompt chunk through the positive stream; update h_pos for
+    samples whose last valid token lies in this chunk."""
+    lm_cfg = cfg.decoder_config
+    h, pos_cache = qwen2.forward(
+        lm_cfg, params["lm"], embeds, valid_mask=valid, cache=carry.pos_cache
+    )
+    b, c = valid.shape
+    last_global = lengths - 1  # (B,)
+    in_chunk = (last_global >= chunk_start) & (last_global < chunk_start + c)
+    idx = jnp.clip(last_global - chunk_start, 0, c - 1)
+    h_last = h[jnp.arange(b), idx]
+    h_pos = jnp.where(in_chunk[:, None], h_last, carry.h_pos)
+    return carry._replace(pos_cache=pos_cache, h_pos=h_pos)
+
+
+def chunked_prefill(
+    cfg: VibeVoiceConfig,
+    params,
+    ids: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    max_len: int,
+    tokens: SpecialTokens,
+    key,
+    speech_args=None,
+    chunk: int = 1024,
+) -> DecodeCarry:
+    """Long-prompt prefill in fixed-size chunks: bounds attention score/mask
+    memory at O(chunk x S), enabling 64K prompts (SURVEY.md §5 long-context).
+    Voice features are spliced into the full embedding matrix once, then the
+    chunks stream through the cache path."""
+    b, t = ids.shape
+    embeds = qwen2.embed_tokens(params["lm"], ids)
+    if speech_args is not None:
+        speech_tensors, speech_frame_valid, speech_input_mask, vae_key = speech_args
+        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key)
+        embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
+
+    lengths = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
+    carry = _prefill_init_fn(cfg, params, ids, max_len, key, tokens)
+
+    n_chunks = -(-t // chunk)
+    pad_t = n_chunks * chunk
+    if pad_t != t:
+        embeds = jnp.pad(embeds, ((0, 0), (0, pad_t - t), (0, 0)))
+        valid_mask = jnp.pad(valid_mask, ((0, 0), (0, pad_t - t)))
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        carry = _prefill_chunk_fn(
+            cfg, params, carry, embeds[:, sl], valid_mask[:, sl], lengths, c * chunk
+        )
+    return carry
+
+
 def make_step_fn(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions):
     """Builds the fused per-frame step function (jitted, carry donated)."""
     return jax.jit(_make_step_body(cfg, tokens, opts), donate_argnums=(1,))
@@ -177,7 +258,8 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
         k_tok, k_lat, k_sde = jax.random.split(key, 3)
 
         # ---- 1. constrained token choice (reference :488-501) -------------
-        logits = vv.lm_logits(params, carry.h_pos).astype(jnp.float32)
+        with jax.named_scope("token_choice"):
+            logits = vv.lm_logits(params, carry.h_pos).astype(jnp.float32)
         cand_logits = logits[:, cand]
         if opts.do_sample:
             choice = jax.random.categorical(k_tok, cand_logits, axis=-1)
@@ -209,23 +291,26 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
         # ---- 4. CFG diffusion scan (reference :629-633, :697-710) ---------
         head_fn = lambda x, t, c: dh.apply(params["diffusion_head"], hcfg, x, t, c)
         x_init = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
-        latent = dpm.cfg_sample(
+        with jax.named_scope("cfg_diffusion"):
+            latent = dpm.cfg_sample(
             coeffs,
             head_fn,
             carry.h_pos,
             carry.h_neg,
             opts.cfg_scale,
-            x_init,
-            key=k_sde if opts.sde else None,
-        )
+                x_init,
+                key=k_sde if opts.sde else None,
+            )
 
         # ---- 5. vocode one frame + semantic re-encode (reference :636-664)
         dtype = params["lm"]["embed"].dtype
         scaled = latent / params["speech_scaling_factor"] - params["speech_bias_factor"]
-        audio, dec_state_new = tok.decode(
-            acfg, params["acoustic_tokenizer"], scaled[:, None, :].astype(dtype), dec_state
-        )
-        sem_mean, sem_state_new = tok.encode(scfg, params["semantic_tokenizer"], audio, sem_state)
+        with jax.named_scope("vocoder"):
+            audio, dec_state_new = tok.decode(
+                acfg, params["acoustic_tokenizer"], scaled[:, None, :].astype(dtype), dec_state
+            )
+        with jax.named_scope("semantic_encode"):
+            sem_mean, sem_state_new = tok.encode(scfg, params["semantic_tokenizer"], audio, sem_state)
 
         commit = diff_mask.reshape(-1, 1, 1)
         dec_state = jax.tree.map(lambda n, o: jnp.where(commit, n, o), dec_state_new, dec_state)
@@ -239,8 +324,10 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
         next_embeds = jnp.where(diff_mask[:, None], diff_embeds, tok_embeds)[:, None, :]
 
         # ---- 7. both LM forwards for the next frame -----------------------
-        h_pos, pos_cache = qwen2.forward(lm_cfg, params["lm"], next_embeds, cache=carry.pos_cache)
-        h_neg, neg_cache = qwen2.forward(
+        with jax.named_scope("lm_pos"):
+            h_pos, pos_cache = qwen2.forward(lm_cfg, params["lm"], next_embeds, cache=carry.pos_cache)
+        with jax.named_scope("lm_neg"):
+            h_neg, neg_cache = qwen2.forward(
             lm_cfg,
             params["lm"],
             next_embeds,
@@ -349,17 +436,30 @@ def generate(
             jnp.asarray(speech_input_mask),
             vk,
         )
-    carry = prefill_fn(
-        cfg,
-        params,
-        jnp.asarray(input_ids, jnp.int32),
-        max_length,
-        jnp.asarray(valid_mask),
-        speech_args,
-        use_speech,
-        tokens,
-        pk,
-    )
+    if t0 > opts.prefill_chunk:
+        carry = chunked_prefill(
+            cfg,
+            params,
+            jnp.asarray(input_ids, jnp.int32),
+            jnp.asarray(valid_mask),
+            max_length,
+            tokens,
+            pk,
+            speech_args=speech_args if use_speech else None,
+            chunk=opts.prefill_chunk,
+        )
+    else:
+        carry = prefill_fn(
+            cfg,
+            params,
+            jnp.asarray(input_ids, jnp.int32),
+            max_length,
+            jnp.asarray(valid_mask),
+            speech_args,
+            use_speech,
+            tokens,
+            pk,
+        )
 
     k_frames = max(1, opts.frames_per_dispatch)
     if step_fn is None:

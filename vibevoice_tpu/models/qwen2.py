@@ -32,22 +32,52 @@ from ..ops.norms import rms_norm
 
 Params = Dict
 
+# Attention implementation: "auto" picks the Pallas flash kernel on TPU for
+# cached attention (the flash-attn-2 analog, SURVEY.md §2.9), XLA elsewhere.
+_ATTENTION_IMPL = "auto"
+
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTENTION_IMPL
+    assert impl in ("auto", "flash", "xla")
+    _ATTENTION_IMPL = impl
+
+
+def _flash_enabled() -> bool:
+    if _ATTENTION_IMPL == "flash":
+        return True
+    if _ATTENTION_IMPL == "xla":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, S, KH, D)
-    v: jnp.ndarray  # (L, B, S, KH, D)
+    """KV cache: per-layer tuples of (B, KH, S, D) buffers.
+
+    Separate per-layer buffers (rather than one stacked (L, ...) array) let
+    XLA alias each layer's update in place under donation — a stacked array
+    sliced per layer around the Pallas kernel boundary forces whole-cache
+    copies every step. Batch/head lead so the flash kernel's per-(b,h) DMA
+    slices touch only the (S, D) tile plane (bf16 sublane tiling constrains
+    the last two dims)."""
+
+    k: tuple  # L x (B, KH, S, D)
+    v: tuple  # L x (B, KH, S, D)
     length: jnp.ndarray  # (B,) int32 — valid prefix length per sample
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[2]
 
 
 def make_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
         length=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -146,11 +176,27 @@ def _attention_masked(q, k, v, mask):
     return out.reshape(b, t, nh, d)
 
 
+def _attention_cached(q, k, v, mask):
+    """q (B,T,NH,D), k/v (B,KH,S,D) cache layout, mask (B,T,S) bool."""
+    b, t, nh, d = q.shape
+    kh, s = k.shape[1], k.shape[2]
+    g = nh // kh
+    qg = q.reshape(b, t, kh, g, d)
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * (d**-0.5)
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    scores = jnp.where(mask[:, None, None, :, :], scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs.astype(v.dtype), v)
+    return out.reshape(b, t, nh, d)
+
+
 def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
-    """Write (B, W, KH, D) into (B, S, KH, D) at per-sample offsets (B,)."""
+    """Write (B, W, KH, D) into (B, KH, S, D) at per-sample offsets (B,)."""
+    new = new.transpose(0, 2, 1, 3)  # (B, KH, W, D)
 
     def one(buf, chunk, off):
-        return jax.lax.dynamic_update_slice(buf, chunk, (off, 0, 0))
+        return jax.lax.dynamic_update_slice(buf, chunk, (0, off, 0))
 
     return jax.vmap(one)(cache_layer, new, offsets)
 
@@ -160,7 +206,7 @@ def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarra
 # ---------------------------------------------------------------------------
 
 
-def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None):
+def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None, flash=False):
     """One transformer block. Returns (x, (k_new, v_new) cache layer or None)."""
     b, t, h = x.shape
     nh, kh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -177,7 +223,12 @@ def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None):
         ck, cv = cache_kv
         ck = _write_cache(ck, k.astype(ck.dtype), offsets)
         cv = _write_cache(cv, v.astype(cv.dtype), offsets)
-        attn = _attention_masked(q, ck.astype(q.dtype), cv.astype(q.dtype), mask)
+        if flash:
+            from ..ops.flash_attention import flash_cached_attention
+
+            attn = flash_cached_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), offsets)
+        else:
+            attn = _attention_cached(q, ck.astype(q.dtype), cv.astype(q.dtype), mask)
         new_cache = (ck, cv)
     else:
         attn = _attention_masked(q, k, v, mask)
@@ -225,23 +276,33 @@ def forward(
     if valid_mask is None:
         valid_mask = jnp.ones((b, t), bool)
 
+    flash = False
     if cache is not None:
         base = cache.length  # (B,)
         q_abs = base[:, None] + jnp.cumsum(valid_mask.astype(jnp.int32), axis=1) - 1
         q_abs = jnp.where(valid_mask, q_abs, base[:, None])  # pads: harmless position
         positions = q_abs
         s = cache.max_len
-        j = jnp.arange(s)
-        # keys: committed prefix OR this chunk's valid tokens at their slots
-        # (chunk token i occupies slot base + i; pads masked at their slots)
-        prefix_valid = j[None, :] < base[:, None]  # (B, S)
-        chunk_valid = jax.vmap(
-            lambda vm, off: jax.lax.dynamic_update_slice(jnp.zeros((s,), bool), vm, (off,))
-        )(valid_mask, base)
-        key_valid = prefix_valid | chunk_valid  # (B, S)
-        causal = j[None, None, :] <= q_abs[:, :, None]  # (B, T, S) absolute slots
-        mask = key_valid[:, None, :] & causal
         offsets = base
+        # Mosaic DMA slices need 128-lane alignment on the head dim; both
+        # flagship models use head_dim 128 (the 0.5B streaming LM's 64-dim
+        # heads stay on the XLA path)
+        flash = _flash_enabled() and cfg.head_dim % 128 == 0 and s % 512 == 0
+        if flash:
+            # the kernel applies the (right-padding) causal rule itself; no
+            # materialised mask needed — key at 64K context
+            mask = None
+        else:
+            j = jnp.arange(s)
+            # keys: committed prefix OR this chunk's valid tokens at their
+            # slots (chunk token i occupies slot base + i; pads masked)
+            prefix_valid = j[None, :] < base[:, None]  # (B, S)
+            chunk_valid = jax.vmap(
+                lambda vm, off: jax.lax.dynamic_update_slice(jnp.zeros((s,), bool), vm, (off,))
+            )(valid_mask, base)
+            key_valid = prefix_valid | chunk_valid  # (B, S)
+            causal = j[None, None, :] <= q_abs[:, :, None]  # (B, T, S)
+            mask = key_valid[:, None, :] & causal
     else:
         positions = jnp.cumsum(valid_mask.astype(jnp.int32), axis=1) - 1
         positions = jnp.maximum(positions, 0)
@@ -256,16 +317,21 @@ def forward(
     x = embeds
     new_k, new_v = None, None
     if cache is not None:
-        new_k = cache.k
-        new_v = cache.v
+        new_k = list(cache.k)
+        new_v = list(cache.v)
     for li in range(lo, hi):
-        cache_kv = (new_k[li], new_v[li]) if cache is not None else None
+        # note: layer_range uses LOCAL layer params (split streaming stacks
+        # pass their own param trees), so cache index == li - lo when the
+        # cache belongs to the sub-stack; full-model callers use lo=0.
+        ci = li - lo
+        cache_kv = (new_k[ci], new_v[ci]) if cache is not None else None
         x, updated = _layer(
-            cfg, params["layers"][li], x, cos, sin, mask=mask, cache_kv=cache_kv, offsets=offsets
+            cfg, params["layers"][li], x, cos, sin, mask=mask, cache_kv=cache_kv,
+            offsets=offsets, flash=flash,
         )
         if cache is not None:
-            new_k = new_k.at[li].set(updated[0])
-            new_v = new_v.at[li].set(updated[1])
+            new_k[ci] = updated[0]
+            new_v[ci] = updated[1]
 
     if not skip_final_norm:
         x = rms_norm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
@@ -273,7 +339,7 @@ def forward(
     if cache is not None:
         if advance is None:
             advance = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
-        return x, KVCache(k=new_k, v=new_v, length=cache.length + advance)
+        return x, KVCache(k=tuple(new_k), v=tuple(new_v), length=cache.length + advance)
     return x, None
 
 

@@ -124,7 +124,7 @@ class VoicePreset:
     (k, v, length) with k/v shaped (L, 1, S, KH, D); `h` are (1, H) last
     hidden states. Mirrors the reference `.pt` schema (§2.6)."""
 
-    lm_kv: tuple
+    lm_kv: tuple  # (k (L,1,KH,S,D), v, length)
     tts_kv: tuple
     neg_tts_kv: tuple
     lm_h: np.ndarray
@@ -152,11 +152,11 @@ class VoicePreset:
 
 
 def _cache_from_kv(cfg, kv, max_len: int, dtype) -> qwen2.KVCache:
-    k, v, length = kv
-    L, b, s, kh, d = k.shape
+    k, v, length = kv  # stacked (L, B, KH, S, D) storage format
+    L, b, kh, s, d = k.shape
     cache = qwen2.make_cache(cfg, b, max_len, dtype)
-    ck = cache.k.at[:, :, :s].set(jnp.asarray(k, dtype))
-    cv = cache.v.at[:, :, :s].set(jnp.asarray(v, dtype))
+    ck = tuple(cache.k[i].at[:, :, :s].set(jnp.asarray(k[i], dtype)) for i in range(L))
+    cv = tuple(cache.v[i].at[:, :, :s].set(jnp.asarray(v[i], dtype)) for i in range(L))
     return qwen2.KVCache(k=ck, v=cv, length=jnp.asarray(length, jnp.int32).reshape(b))
 
 
@@ -210,7 +210,11 @@ def build_voice_preset(
 
     def kv(c):
         ln = int(c.length[0])
-        return (np.asarray(c.k[:, :, :ln], np.float32), np.asarray(c.v[:, :, :ln], np.float32), np.asarray(c.length))
+        return (
+            np.stack([np.asarray(x[:, :, :ln], np.float32) for x in c.k]),
+            np.stack([np.asarray(x[:, :, :ln], np.float32) for x in c.v]),
+            np.asarray(c.length),
+        )
 
     return VoicePreset(
         lm_kv=kv(lm_cache),

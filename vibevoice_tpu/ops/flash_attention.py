@@ -1,0 +1,157 @@
+"""Pallas flash attention over the persistent KV cache (TPU).
+
+The TPU-native replacement for the reference's flash-attn-2 CUDA dependency
+(SURVEY.md §2.9): one kernel serves both cached prefill chunks and decode
+steps. For each (batch, kv-head) grid cell it streams K/V blocks from HBM
+with double-buffered DMA, maintaining an online-softmax accumulator in VMEM,
+and only reads the *valid* prefix of the cache (per-sample lengths are
+scalar-prefetched), so a 64K-slot cache costs only ``len`` worth of bandwidth.
+
+K/V arrive in the cache's (B, KH, S, D) layout so the per-(b,h) DMA slices
+address only the trailing (S, D) plane — bf16 sublane tiling constrains the
+last two dims of a memref slice.
+
+Masking rule (matches models/qwen2.py): query row i (absolute slot
+``base[b] + i``) attends keys ``j <= base[b] + i``. GQA is handled by folding
+the G query heads of a KV group into rows of one matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def flash_cached_attention(
+    q: jnp.ndarray,  # (B, W, NH, D)
+    k_cache: jnp.ndarray,  # (B, KH, S, D) — chunk already written at base
+    v_cache: jnp.ndarray,
+    base_lens: jnp.ndarray,  # (B,) int32
+    *,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, W, NH, D). Valid keys for query i: j <= base_lens[b] + i."""
+    b, w, nh, d = q.shape
+    kh, s = k_cache.shape[1], k_cache.shape[2]
+    g = nh // kh
+    r = w * g
+    scale = d**-0.5
+
+    if s % block_k != 0:
+        raise ValueError(f"cache length {s} must be a multiple of block_k={block_k}")
+
+    # (B, W, KH, G, D) -> (B, KH, W*G, D): rows of one KV group contiguous
+    qg = q.reshape(b, w, kh, g, d).transpose(0, 2, 1, 3, 4).reshape(b, kh, r, d)
+    r_pad = max(8, -(-r // 8) * 8)  # sublane alignment
+    if r_pad != r:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+
+    kernel = functools.partial(_kernel_zeroed, w=w, g=g, block_k=block_k, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kh),
+        in_specs=[
+            pl.BlockSpec((1, 1, r_pad, d), lambda i, j, lens: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, r_pad, d), lambda i, j, lens: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kh, r_pad, d), q.dtype),
+        interpret=interpret,
+    )(base_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    out = out[:, :, :r]
+    return out.reshape(b, kh, w, g, d).transpose(0, 2, 1, 3, 4).reshape(b, w, nh, d)
+
+
+def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    base = lens_ref[b]
+    r = q_ref.shape[2]  # padded row count (>= w * g)
+    d = q_ref.shape[-1]
+
+    def run(kb_scr, vb_scr, sem, acc_scr, m_scr, l_scr):
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+
+        total = base + w
+        nblocks = pl.cdiv(total, block_k)
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        row_pos = base + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) // g
+
+        def get_dma(slot, kb):
+            start = kb * block_k
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[b, h, pl.ds(start, block_k), :], kb_scr.at[slot], sem.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, h, pl.ds(start, block_k), :], vb_scr.at[slot], sem.at[slot, 1]
+                ),
+            )
+
+        dk0, dv0 = get_dma(0, 0)
+        dk0.start()
+        dv0.start()
+
+        def body(kb, _):
+            slot = kb % 2
+            nxt = (kb + 1) % 2
+
+            @pl.when(kb + 1 < nblocks)
+            def _():
+                ndk, ndv = get_dma(nxt, kb + 1)
+                ndk.start()
+                ndv.start()
+
+            dk, dv = get_dma(slot, kb)
+            dk.wait()
+            dv.wait()
+
+            kblk = kb_scr[slot].astype(jnp.float32)
+            vblk = vb_scr[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            jcol = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (r, block_k), 1)
+            s = jnp.where(jcol <= row_pos, s, NEG_INF)
+
+            m_prev = m_scr[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+                p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m_scr[:, :1] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, nblocks, body, 0)
+        o_ref[0, 0] = (acc_scr[...] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        run,
+        kb_scr=pltpu.VMEM((2, block_k, d), k_hbm.dtype),
+        vb_scr=pltpu.VMEM((2, block_k, d), v_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, 2)),
+        acc_scr=pltpu.VMEM((r, d), jnp.float32),
+        m_scr=pltpu.VMEM((r, 128), jnp.float32),
+        l_scr=pltpu.VMEM((r, 128), jnp.float32),
+    )

@@ -13,7 +13,7 @@ import numpy as np
 
 
 def _stack_kv(past_key_values) -> tuple:
-    """HF per-layer [(k, v)] with (B, KH, S, D) -> ((L,B,S,KH,D) k, v, len)."""
+    """HF per-layer [(k, v)] with (B, KH, S, D) -> ((L,B,KH,S,D) k, v, len)."""
     ks, vs = [], []
     layers = getattr(past_key_values, "key_cache", None)
     if layers is not None:  # transformers DynamicCache
@@ -24,9 +24,9 @@ def _stack_kv(past_key_values) -> tuple:
         for k, v in past_key_values:
             ks.append(np.asarray(k.detach().float().cpu()))
             vs.append(np.asarray(v.detach().float().cpu()))
-    k = np.stack(ks).transpose(0, 1, 3, 2, 4)  # (L,B,KH,S,D) -> (L,B,S,KH,D)
-    v = np.stack(vs).transpose(0, 1, 3, 2, 4)
-    length = np.full((k.shape[1],), k.shape[2], np.int32)
+    k = np.stack(ks)  # already (L, B, KH, S, D)
+    v = np.stack(vs)
+    length = np.full((k.shape[1],), k.shape[3], np.int32)
     return k.astype(np.float32), v.astype(np.float32), length
 
 
