@@ -37,6 +37,15 @@ class AudioNormalizer:
         return audio / scalar, scalar
 
     def __call__(self, audio: np.ndarray) -> np.ndarray:
+        try:
+            from ..utils import native_dsp
+
+            if native_dsp.available():
+                return native_dsp.db_normalize(
+                    np.asarray(audio, np.float32), self.target_dB_FS, self.eps
+                )
+        except Exception:
+            pass
         audio, _, _ = self.tailor_dB_FS(audio)
         audio, _ = self.avoid_clipping(audio)
         return audio
@@ -45,6 +54,13 @@ class AudioNormalizer:
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int = TARGET_SAMPLE_RATE) -> np.ndarray:
     if orig_sr == target_sr:
         return audio
+    try:
+        from ..utils import native_dsp
+
+        if native_dsp.available():
+            return native_dsp.resample(np.asarray(audio, np.float32), orig_sr, target_sr)
+    except Exception:
+        pass
     from scipy.signal import resample_poly
 
     g = math.gcd(orig_sr, target_sr)
