@@ -135,3 +135,22 @@ def test_batch_iterator():
     s.end()
     got = sorted((i, v.sum()) for i, v in s)
     assert got == [(0, 2.0), (1, 4.0)]
+
+
+def test_async_streamer():
+    import asyncio
+
+    from vibevoice_tpu.streamer import AsyncAudioStreamer
+
+    async def run():
+        s = AsyncAudioStreamer(batch_size=2, loop=asyncio.get_event_loop())
+        s.put([np.ones(4), np.ones(4) * 2], [0, 1])
+        s.put([np.ones(4) * 3], [0])
+        s.end()
+        out0 = [c async for c in s.get_stream(0)]
+        out1 = [c async for c in s.get_stream(1)]
+        return out0, out1
+
+    out0, out1 = asyncio.run(run())
+    assert len(out0) == 2 and len(out1) == 1
+    np.testing.assert_array_equal(out0[1], np.ones(4) * 3)

@@ -51,6 +51,9 @@ def parse_args():
     ap.add_argument("--log_steps", type=int, default=10)
     ap.add_argument("--resume_from_checkpoint", type=str, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--report_to", type=str, default=None, choices=[None, "wandb"],
+                    help="metric sink (reference routes Trainer logs to wandb)")
+    ap.add_argument("--run_name", type=str, default="vibevoice-tpu-finetune")
     return ap.parse_args()
 
 
@@ -169,6 +172,16 @@ def main():
         start_step = int(blob["step"])
         print(f"Resumed from step {start_step}")
 
+    wandb_run = None
+    if args.report_to == "wandb":
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="vibevoice-tpu", name=args.run_name,
+                                   config=vars(args))
+        except ImportError:
+            print("wandb not installed; falling back to stdout logging")
+
     key = jax.random.PRNGKey(args.seed + 2)
     bs = args.per_device_batch_size
     order = np.arange(len(dataset))
@@ -204,12 +217,20 @@ def main():
         ema = update_ema(ema, head, args.ema_decay)
 
         if (step + 1) % args.log_steps == 0 or step == start_step:
+            metrics = {
+                "loss": float(out.loss),
+                "ce_loss": float(out.ce_loss),
+                "diffusion_loss": float(out.diffusion_loss),
+                "sec_per_step": (time.time() - t0) / (step - start_step + 1),
+            }
             print(
                 f"step {step + 1}/{args.max_steps} "
-                f"loss={float(out.loss):.4f} ce={float(out.ce_loss):.4f} "
-                f"diff={float(out.diffusion_loss):.4f} "
-                f"({(time.time() - t0) / (step - start_step + 1):.2f}s/step)"
+                f"loss={metrics['loss']:.4f} ce={metrics['ce_loss']:.4f} "
+                f"diff={metrics['diffusion_loss']:.4f} "
+                f"({metrics['sec_per_step']:.2f}s/step)"
             )
+            if wandb_run is not None:
+                wandb_run.log(metrics, step=step + 1)
         if (step + 1) % args.save_steps == 0:
             save(step + 1)
 
