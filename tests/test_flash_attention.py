@@ -58,3 +58,49 @@ def test_rejects_unaligned_cache():
     k = jnp.zeros((1, 2, 100, 128))
     with pytest.raises(ValueError, match="multiple of block_k"):
         flash_cached_attention(q, k, k, jnp.zeros(1, jnp.int32), block_k=64, interpret=True)
+
+
+class TestInt8Quant:
+    """Weight-only int8 matmul (interpret mode on CPU)."""
+
+    def test_quantize_roundtrip_accuracy(self):
+        from vibevoice_tpu.ops.quant import int8_matmul, quantize_weight
+
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(512, 512).astype(np.float32) * 0.02)
+        x = jnp.asarray(rng.randn(4, 512).astype(np.float32))
+        q = quantize_weight(w)
+        out = int8_matmul(x, q["w8"], q["scale"], interpret=True)
+        ref = x @ w
+        rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+        assert rel < 0.02, rel
+
+    def test_odd_shape_fallback(self):
+        from vibevoice_tpu.ops.quant import int8_matmul, quantize_weight
+
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(100, 60).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.randn(3, 100).astype(np.float32))
+        q = quantize_weight(w)
+        out = int8_matmul(x, q["w8"], q["scale"])
+        assert out.shape == (3, 60)
+
+    def test_quantized_lm_forward_close(self):
+        from vibevoice_tpu.configs import Qwen2Config
+        from vibevoice_tpu.models import qwen2
+        from vibevoice_tpu.ops.quant import quantize_lm
+
+        cfg = Qwen2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, rope_theta=10_000.0,
+        )
+        params = qwen2.init(jax.random.PRNGKey(0), cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 128)
+        x = qwen2.embed_tokens(params, ids)
+        ref, _ = qwen2.forward(cfg, params, x)
+        qparams = quantize_lm(params, quantize_lm_head=False)
+        out, _ = qwen2.forward(cfg, qparams, x)
+        # weight-only per-channel int8 keeps hidden states close
+        rel = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+        assert rel < 0.05, rel

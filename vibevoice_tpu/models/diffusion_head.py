@@ -81,6 +81,10 @@ def init(key, cfg: DiffusionHeadConfig, dtype=jnp.float32) -> Params:
 
 
 def _mm(x, p):
+    if "w8" in p:
+        from ..ops.quant import mm as qmm
+
+        return qmm(x, p)
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -152,6 +152,10 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _mm(x, p):
+    if "w8" in p:
+        from ..ops.quant import mm as qmm
+
+        return qmm(x, p)
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -220,6 +220,17 @@ def reset_state(state: State, sample_mask: jnp.ndarray) -> State:
 # ---------------------------------------------------------------------------
 
 
+def _ffn_mm(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    if "w8" in p:
+        from ..ops.quant import mm as qmm
+
+        return qmm(x, p)
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 def _norm_apply(p: Params, x: jnp.ndarray, cfg) -> jnp.ndarray:
     if cfg.layernorm == "RMSNorm":
         return rms_norm(x, p.get("w"), cfg.layernorm_eps)
@@ -243,13 +254,9 @@ def _block_apply(p: Params, x: jnp.ndarray, cfg, state: Optional[jnp.ndarray]):
     res = x
     h = _norm_apply(p["ffn_norm"], x, cfg)
     f = p["ffn"]
-    h = jnp.dot(h, f["fc1"]["w"].astype(h.dtype))
-    if "b" in f["fc1"]:
-        h = h + f["fc1"]["b"].astype(h.dtype)
+    h = _ffn_mm(h, f["fc1"])
     h = jax.nn.gelu(h, approximate=False)
-    h = jnp.dot(h, f["fc2"]["w"].astype(h.dtype))
-    if "b" in f["fc2"]:
-        h = h + f["fc2"]["b"].astype(h.dtype)
+    h = _ffn_mm(h, f["fc2"])
     if "ffn_gamma" in p:
         h = h * p["ffn_gamma"].astype(h.dtype)
     return res + h, new_state

@@ -72,10 +72,45 @@ def init(key, cfg: VibeVoiceConfig, dtype=jnp.float32) -> Params:
 
 
 def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    head_q = params["lm"].get("lm_head_q") or params.get("lm_head_q")
+    if head_q is not None:
+        from ..ops.quant import int8_matmul
+
+        return int8_matmul(hidden, head_q["w8"], head_q["scale"])
     w = params.get("lm_head")
     if w is None:
         w = params["lm"]["embed"]
     return jnp.dot(hidden, w.T.astype(hidden.dtype))
+
+
+def quantize_for_inference(
+    params: Params,
+    components: Tuple[str, ...] = ("lm", "lm_head"),
+) -> Params:
+    """Weight-only per-channel int8 for the serving path (see ops/quant.py).
+    Decode is weight-bandwidth-bound, so halving weight bytes raises RTF.
+    Defaults to the LM + logits projection (measured +14% RTF at bs1);
+    "diffusion_head"/"tokenizers" are available but measured neutral — their
+    matmuls are small enough that kernel overhead cancels the bandwidth win."""
+    from ..ops import quant
+
+    out = dict(params)
+    if "lm" in components:
+        out["lm"] = quant.quantize_lm(params["lm"], quantize_lm_head=False)
+    if "lm_head" in components:
+        head_w = params.get("lm_head")
+        if head_w is None:
+            head_w = params["lm"]["embed"]
+        else:
+            out.pop("lm_head", None)
+        out["lm_head_q"] = quant.quantize_weight(head_w.T)
+    if "diffusion_head" in components:
+        out["diffusion_head"] = quant.quantize_diffusion_head(params["diffusion_head"])
+    if "tokenizers" in components:
+        out["acoustic_tokenizer"] = quant.quantize_tokenizer(params["acoustic_tokenizer"])
+        if "semantic_tokenizer" in params:
+            out["semantic_tokenizer"] = quant.quantize_tokenizer(params["semantic_tokenizer"])
+    return out
 
 
 def splice_speech_features(
