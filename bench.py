@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     import jax
     import jax.numpy as jnp
 
@@ -48,8 +51,7 @@ def main():
     step = inf.make_multi_step_fn(cfg, tokens, opts, frames_per_dispatch)
 
     carry = inf.DecodeCarry(
-        pos_cache=qwen2.make_cache(cfg.decoder_config, batch, max_len, dtype),
-        neg_cache=qwen2.make_cache(cfg.decoder_config, batch, max_len, dtype),
+        cache=qwen2.make_cache(cfg.decoder_config, 2 * batch, max_len, dtype),
         dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, batch, dtype),
         sem_state=tok.init_encoder_state(cfg.semantic_tokenizer_config, batch, dtype),
         h_pos=jnp.zeros((batch, cfg.decoder_config.hidden_size), dtype),
@@ -65,12 +67,16 @@ def main():
         carry, out = step(params, carry, sk, ext)
     jax.block_until_ready(out.audio)
 
+    import numpy as np
+
     n_dispatch = max(1, steps // frames_per_dispatch)
     t0 = time.perf_counter()
     for i in range(n_dispatch):
         key, sk = jax.random.split(key)
         carry, out = step(params, carry, sk, ext)
-    jax.block_until_ready(out.audio)
+    # force a real device round-trip (block_until_ready alone can return
+    # early through remote-tunnel transports)
+    np.asarray(out.audio).sum()
     wall = time.perf_counter() - t0
 
     frame_sec = 3200 / 24_000

@@ -54,6 +54,9 @@ class VoiceMapper:
 
 
 def main():
+    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", type=str, default=None, help="checkpoint directory")
     ap.add_argument("--txt_path", type=str, default=None, help="script .txt/.json")

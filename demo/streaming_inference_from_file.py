@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", type=str, default=None)
     ap.add_argument("--voice_preset", type=str, default=None, help=".npz (native) or .pt (reference)")

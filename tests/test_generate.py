@@ -159,11 +159,12 @@ def test_chunked_prefill_matches_single_shot(params):
     a = inf.prefill_fn(CFG, params, ids_j, 64, valid_j, None, False, TOKENS, key)
     b = inf.chunked_prefill(CFG, params, ids_j, valid_j, 64, TOKENS, key, chunk=6)
     np.testing.assert_allclose(np.asarray(a.h_pos), np.asarray(b.h_pos), rtol=2e-5, atol=2e-5)
-    np.testing.assert_array_equal(np.asarray(a.pos_cache.length), np.asarray(b.pos_cache.length))
-    # cache contents agree on the valid prefix
-    for s in range(2):
-        n = int(a.pos_cache.length[s])
-        for la, lb in zip(a.pos_cache.k, b.pos_cache.k):
+    np.testing.assert_array_equal(np.asarray(a.cache.length), np.asarray(b.cache.length))
+    # cache contents agree on each sample's valid prefix (pos rows 0..B-1,
+    # neg rows B..2B-1)
+    for s in range(4):
+        n = int(a.cache.length[s])
+        for la, lb in zip(a.cache.k, b.cache.k):
             np.testing.assert_allclose(
                 np.asarray(la[s, :, :n]), np.asarray(lb[s, :, :n]), rtol=2e-5, atol=2e-5
             )

@@ -74,8 +74,14 @@ class GenerateOptions:
 
 
 class DecodeCarry(NamedTuple):
-    pos_cache: qwen2.KVCache
-    neg_cache: qwen2.KVCache
+    """Fused-stream decode state: ONE KV cache of batch 2B holds the positive
+    stream in rows [0, B) and the negative CFG stream in rows [B, 2B). Both
+    streams consume the same input embedding each frame (reference :506-508,
+    :579-581), so a single batched forward reads the LM weights once instead
+    of twice — decode is weight-bandwidth-bound, making this ~a third faster
+    than separate pos/neg forwards."""
+
+    cache: qwen2.KVCache  # batch 2B
     dec_state: Dict
     sem_state: Dict
     h_pos: jnp.ndarray  # (B, H) hidden that will emit this step's token
@@ -133,8 +139,7 @@ def prefill_fn(
     last = jnp.maximum(jnp.sum(valid_mask.astype(jnp.int32), axis=1) - 1, 0)
     h_pos = h[jnp.arange(b), last]
 
-    # negative stream: 1-token <speech_start> prompt with its own cache
-    # (reference :379-386)
+    # negative stream: 1-token <speech_start> prompt (reference :379-386)
     neg_ids = jnp.full((b, 1), tokens.speech_start, jnp.int32)
     neg_embeds = qwen2.embed_tokens(params["lm"], neg_ids)
     neg_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
@@ -143,13 +148,21 @@ def prefill_fn(
     dec_state = tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype)
     sem_state = tok.init_encoder_state(cfg.semantic_tokenizer_config, b, dtype)
     return DecodeCarry(
-        pos_cache=pos_cache,
-        neg_cache=neg_cache,
+        cache=_combine_caches(pos_cache, neg_cache),
         dec_state=dec_state,
         sem_state=sem_state,
         h_pos=h_pos,
         h_neg=h_neg[:, 0],
         finished=jnp.zeros((b,), bool),
+    )
+
+
+def _combine_caches(pos: qwen2.KVCache, neg: qwen2.KVCache) -> qwen2.KVCache:
+    """Stack the two streams row-wise into one 2B cache (one-time copy)."""
+    return qwen2.KVCache(
+        k=tuple(jnp.concatenate([pk, nk], axis=0) for pk, nk in zip(pos.k, neg.k)),
+        v=tuple(jnp.concatenate([pv, nv], axis=0) for pv, nv in zip(pos.v, neg.v)),
+        length=jnp.concatenate([pos.length, neg.length]),
     )
 
 
@@ -167,32 +180,30 @@ def _prefill_init_fn(cfg: VibeVoiceConfig, params, ids_shape_b, max_len: int, ke
     h_neg, neg_cache = qwen2.forward(lm_cfg, params["lm"], neg_embeds, cache=neg_cache)
     dec_state = tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype)
     sem_state = tok.init_encoder_state(cfg.semantic_tokenizer_config, b, dtype)
-    return DecodeCarry(
-        pos_cache=pos_cache,
-        neg_cache=neg_cache,
-        dec_state=dec_state,
-        sem_state=sem_state,
-        h_pos=jnp.zeros((b, lm_cfg.hidden_size), dtype),
-        h_neg=h_neg[:, 0],
-        finished=jnp.zeros((b,), bool),
+    return (
+        pos_cache,
+        neg_cache,
+        dec_state,
+        sem_state,
+        h_neg[:, 0],
     )
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def _prefill_chunk_fn(cfg: VibeVoiceConfig, params, carry: DecodeCarry, embeds, valid, lengths, chunk_start):
+def _prefill_chunk_fn(cfg: VibeVoiceConfig, params, pos_cache, h_pos, embeds, valid, lengths, chunk_start):
     """Run one prompt chunk through the positive stream; update h_pos for
     samples whose last valid token lies in this chunk."""
     lm_cfg = cfg.decoder_config
     h, pos_cache = qwen2.forward(
-        lm_cfg, params["lm"], embeds, valid_mask=valid, cache=carry.pos_cache
+        lm_cfg, params["lm"], embeds, valid_mask=valid, cache=pos_cache
     )
     b, c = valid.shape
     last_global = lengths - 1  # (B,)
     in_chunk = (last_global >= chunk_start) & (last_global < chunk_start + c)
     idx = jnp.clip(last_global - chunk_start, 0, c - 1)
     h_last = h[jnp.arange(b), idx]
-    h_pos = jnp.where(in_chunk[:, None], h_last, carry.h_pos)
-    return carry._replace(pos_cache=pos_cache, h_pos=h_pos)
+    h_pos = jnp.where(in_chunk[:, None], h_last, h_pos)
+    return pos_cache, h_pos
 
 
 def chunked_prefill(
@@ -218,7 +229,10 @@ def chunked_prefill(
         embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
 
     lengths = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
-    carry = _prefill_init_fn(cfg, params, ids, max_len, key, tokens)
+    pos_cache, neg_cache, dec_state, sem_state, h_neg = _prefill_init_fn(
+        cfg, params, ids, max_len, key, tokens
+    )
+    h_pos = jnp.zeros((b, cfg.decoder_config.hidden_size), params["lm"]["embed"].dtype)
 
     n_chunks = -(-t // chunk)
     pad_t = n_chunks * chunk
@@ -227,10 +241,17 @@ def chunked_prefill(
         valid_mask = jnp.pad(valid_mask, ((0, 0), (0, pad_t - t)))
     for c in range(n_chunks):
         sl = slice(c * chunk, (c + 1) * chunk)
-        carry = _prefill_chunk_fn(
-            cfg, params, carry, embeds[:, sl], valid_mask[:, sl], lengths, c * chunk
+        pos_cache, h_pos = _prefill_chunk_fn(
+            cfg, params, pos_cache, h_pos, embeds[:, sl], valid_mask[:, sl], lengths, c * chunk
         )
-    return carry
+    return DecodeCarry(
+        cache=_combine_caches(pos_cache, neg_cache),
+        dec_state=dec_state,
+        sem_state=sem_state,
+        h_pos=h_pos,
+        h_neg=h_neg,
+        finished=jnp.zeros((b,), bool),
+    )
 
 
 def make_step_fn(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions):
@@ -273,16 +294,15 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
         end_mask = next_tok == tokens.speech_end
         start_mask = (next_tok == tokens.speech_start) & ~finished
 
-        # ---- 2. negative-stream bookkeeping -------------------------------
-        neg_cache = carry.neg_cache
+        # ---- 2. negative-stream bookkeeping (rows [B, 2B) of the cache) ---
+        cache = carry.cache
+        pos_len, neg_len = cache.length[:b], cache.length[b:]
         if opts.refresh_negative:
             # commit last step's speculative slot only for diffusing samples,
             # then reset streams that just emitted <speech_start>
-            new_len = neg_cache.length + diff_mask.astype(jnp.int32)
-            new_len = jnp.where(start_mask, 1, new_len)
-            neg_cache = neg_cache._replace(length=new_len)
-        else:
-            neg_cache = neg_cache._replace(length=neg_cache.length + 1)
+            neg_len = neg_len + diff_mask.astype(jnp.int32)
+            neg_len = jnp.where(start_mask, 1, neg_len)
+        cache = cache._replace(length=jnp.concatenate([pos_len, neg_len]))
 
         # ---- 3. conv-state reset on speech_end (reference :542-546) -------
         dec_state = tok.reset_state(carry.dec_state, end_mask)
@@ -323,25 +343,26 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
         tok_embeds = qwen2.embed_tokens(params["lm"], next_tok)
         next_embeds = jnp.where(diff_mask[:, None], diff_embeds, tok_embeds)[:, None, :]
 
-        # ---- 7. both LM forwards for the next frame -----------------------
-        with jax.named_scope("lm_pos"):
-            h_pos, pos_cache = qwen2.forward(lm_cfg, params["lm"], next_embeds, cache=carry.pos_cache)
-        with jax.named_scope("lm_neg"):
-            h_neg, neg_cache = qwen2.forward(
-            lm_cfg,
-            params["lm"],
-            next_embeds,
-            cache=neg_cache,
-            advance=jnp.zeros((b,), jnp.int32) if opts.refresh_negative else None,
+        # ---- 7. ONE batched LM forward for both streams -------------------
+        # (same weights, same inputs; rows [0,B)=positive, [B,2B)=negative)
+        both_embeds = jnp.concatenate([next_embeds, next_embeds], axis=0)
+        neg_adv = (
+            jnp.zeros((b,), jnp.int32)
+            if opts.refresh_negative
+            else jnp.ones((b,), jnp.int32)
         )
+        advance = jnp.concatenate([jnp.ones((b,), jnp.int32), neg_adv])
+        with jax.named_scope("lm_fused"):
+            h_both, cache = qwen2.forward(
+                lm_cfg, params["lm"], both_embeds, cache=cache, advance=advance
+            )
 
         new_carry = DecodeCarry(
-            pos_cache=pos_cache,
-            neg_cache=neg_cache,
+            cache=cache,
             dec_state=dec_state,
             sem_state=sem_state,
-            h_pos=h_pos[:, 0],
-            h_neg=h_neg[:, 0],
+            h_pos=h_both[:b, 0],
+            h_neg=h_both[b:, 0],
             finished=finished,
         )
         out = StepOut(tokens=next_tok, audio=audio, audio_mask=diff_mask, finished=finished)
