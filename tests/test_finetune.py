@@ -170,3 +170,16 @@ def test_silence_crossfade_lengths():
     assert len(out) == 24_000 + int(0.25 * 24_000) + int(0.75 * 24_000)
     assert out[0] == 0.0 and out[-1] == 0.0
     assert out[int(0.25 * 24_000) + 12_000] == 1.0  # middle untouched
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, params):
+    from vibevoice_tpu.utils import checkpoint as ckpt
+
+    if not ckpt.have_orbax():
+        pytest.skip("orbax not installed")
+    tree = {"a": jnp.arange(8.0), "b": {"c": jnp.ones((2, 3))}}
+    path = str(tmp_path / "ck")
+    ckpt.save_train_state(path, tree)
+    back = ckpt.restore_train_state(path, tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(back["b"]["c"]), np.asarray(tree["b"]["c"]))

@@ -12,8 +12,8 @@ from __future__ import annotations
 
 import os
 import pickle
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax
@@ -78,8 +78,6 @@ def _merge(w: jnp.ndarray, pair: Dict, scaling: float) -> jnp.ndarray:
 
 def apply_lora(params: Dict, lora: Dict, cfg: LoraConfig) -> Dict:
     """Return params with adapters merged (cheap; runs inside jit)."""
-    import copy
-
     out = jax.tree.map(lambda x: x, params)  # shallow-ish structural copy
     out = dict(out)
     out["lm"] = dict(out["lm"])

@@ -6,7 +6,7 @@ step function per 7.5 Hz frame:
 
     constrained token choice -> CFG negative-stream bookkeeping ->
     K-step DPM-solver scan -> streaming conv vocode -> semantic re-encode ->
-    next-step embeddings -> both LM forwards for the next frame
+    next-step embeddings -> one 2B-batched LM forward (both CFG streams)
 
 Key departures from the reference (equivalent semantics, TPU-first):
 
@@ -25,7 +25,7 @@ Key departures from the reference (equivalent semantics, TPU-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Dict, List, NamedTuple, Optional
 

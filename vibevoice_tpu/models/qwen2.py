@@ -21,7 +21,6 @@ modeling_vibevoice_inference.py:549-624):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -23,7 +23,6 @@ modeling_vibevoice_streaming.py:108-206, modeling_vibevoice_streaming_inference.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, List, NamedTuple, Optional
 
 import numpy as np

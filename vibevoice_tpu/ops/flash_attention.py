@@ -19,7 +19,6 @@ the G query heads of a KV group into rows of one matmul.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Per-channel symmetric quantization: w = w8 * scale.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
