@@ -43,7 +43,12 @@ def main():
     dtype = jnp.bfloat16
     params = vv.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     if os.environ.get("BENCH_INT8") == "1":
-        params = vv.quantize_for_inference(params)
+        components = ["lm", "lm_head"]
+        if os.environ.get("BENCH_INT8_HEAD") == "1":
+            components.append("diffusion_head")
+        if os.environ.get("BENCH_INT8_TOK") == "1":
+            components.append("tokenizers")
+        params = vv.quantize_for_inference(params, components=tuple(components))
     tokens = inf.SpecialTokens()
     opts = inf.GenerateOptions(
         ddpm_steps=ddpm_steps, max_length=max_len, frames_per_dispatch=frames_per_dispatch

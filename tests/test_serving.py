@@ -1,0 +1,76 @@
+"""Continuous-batching serving engine tests (tiny model, CPU)."""
+
+import numpy as np
+import pytest
+
+from vibevoice_tpu.configs import tiny_config
+from vibevoice_tpu.models import inference as inf
+from vibevoice_tpu.models import vibevoice as vv
+from vibevoice_tpu.serving import Request, ServingEngine
+
+CFG = tiny_config()
+HOP = 8
+TOKENS = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=2,
+        max_len=128,
+    )
+    yield eng
+    eng.shutdown()
+
+
+def _make_request(seed, n=10):
+    ids = np.random.RandomState(seed).randint(10, 100, (1, n)).astype(np.int64)
+    ids[0, -1] = TOKENS.speech_start
+    return Request(input_ids=ids, valid_mask=np.ones((1, n), bool), seed=seed)
+
+
+def test_single_request_completes(engine):
+    h = engine.submit(_make_request(0))
+    audio = h.result(timeout=120)
+    assert audio.dtype == np.float32
+    assert len(audio) % HOP == 0
+
+
+def test_concurrent_requests(engine):
+    handles = [engine.submit(_make_request(i, n=8 + i)) for i in range(4)]
+    results = [h.result(timeout=240) for h in handles]
+    assert len(results) == 4
+    for r in results:
+        assert len(r) % HOP == 0
+
+
+def test_streaming_consumption(engine):
+    h = engine.submit(_make_request(9))
+    chunks = list(h.stream())
+    total = h.result(timeout=60)
+    assert sum(len(c) for c in chunks) == len(total)
+
+
+def test_bad_request_surfaces_error(engine):
+    # speech masks inconsistent with tokenizer hop -> error delivered, engine
+    # stays alive
+    bad = Request(
+        input_ids=np.full((1, 4), 20, np.int64),
+        valid_mask=np.ones((1, 4), bool),
+        speech_tensors=np.zeros((1, 64), np.float32),
+        speech_frame_valid=np.ones((1, 3), bool),  # wrong frame count (64/8=8)
+        speech_input_mask=np.zeros((1, 4), bool),
+    )
+    h = engine.submit(bad)
+    with pytest.raises(Exception):
+        h.result(timeout=60)
+    # engine still serves
+    ok = engine.submit(_make_request(3))
+    ok.result(timeout=120)

@@ -385,3 +385,10 @@ def sample_latents(key, mean: jnp.ndarray, fix_std: float, dist_type: str) -> jn
         std = jax.random.normal(k1, (b,) + (1,) * (mean.ndim - 1), mean.dtype) * (fix_std / 0.8)
         return mean + std * jax.random.normal(k2, mean.shape, mean.dtype)
     raise ValueError(f"unknown dist_type {dist_type}")
+
+
+def kl_loss(mean: jnp.ndarray) -> jnp.ndarray:
+    """Per-element "KL" of the σ-VAE posterior — the reference computes plain
+    MSE of the mean against zero (reference VibeVoiceTokenizerEncoderOutput.kl,
+    modular_vibevoice_tokenizer.py:993-996)."""
+    return jnp.square(mean)
