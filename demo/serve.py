@@ -1,0 +1,192 @@
+"""HTTP TTS server on the continuous-batching engine.
+
+A dependency-free (stdlib http.server) serving front-end: concurrent POSTs
+are batched into one fused decode on the device by
+vibevoice_tpu.serving.ServingEngine.
+
+  POST /tts   body: {"text": "Speaker 1: ...", "speaker_names": ["Alice"],
+                     "cfg_scale"?: unused (compiled into the engine),
+                     "seed"?: int}
+              -> audio/wav (streamed as chunks are produced)
+  GET  /health -> {"status": "ok", "active": N}
+
+Usage:
+  python demo/serve.py --model_path <ckpt> --port 8400 --max_batch 4
+
+Without --model_path a tiny random-weight model is served (smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import struct
+import sys
+import threading
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SAMPLE_RATE = 24_000
+
+
+def wav_header(sample_rate: int, num_samples: int) -> bytes:
+    """Standard 16-bit mono PCM WAV header."""
+    data_size = num_samples * 2
+    return b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVEfmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    ) + b"data" + struct.pack("<I", data_size)
+
+
+def build_server(args):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import jax
+
+    from vibevoice_tpu.models import inference as inf
+    from vibevoice_tpu.models import vibevoice as vv
+    from vibevoice_tpu.serving import Request, ServingEngine
+    from vibevoice_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
+    if args.model_path:
+        from vibevoice_tpu.utils.hf_interop import load_checkpoint
+
+        cfg, params, processor = load_checkpoint(args.model_path)
+        tk = processor.tokenizer
+        tokens = inf.SpecialTokens(
+            speech_start=tk.speech_start_id,
+            speech_end=tk.speech_end_id,
+            speech_diffusion=tk.speech_diffusion_id,
+            eos=tk.eos_token_id,
+        )
+        if args.int8:
+            params = vv.quantize_for_inference(params)
+    else:
+        from vibevoice_tpu.configs import tiny_config
+        from vibevoice_tpu.processor.processor import VibeVoiceProcessor
+        from vibevoice_tpu.processor.text_tokenizer import FallbackTextTokenizer
+
+        cfg = tiny_config()
+        params = vv.init(jax.random.PRNGKey(0), cfg)
+        processor = VibeVoiceProcessor(
+            tokenizer=FallbackTextTokenizer(),
+            speech_tok_compress_ratio=cfg.acoustic_tokenizer_config.hop_length,
+        )
+        tokens = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2)
+
+    engine = ServingEngine(
+        cfg,
+        params,
+        tokens=tokens,
+        opts=inf.GenerateOptions(
+            cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps,
+            max_length=args.max_len,
+        ),
+        max_batch=args.max_batch,
+        max_len=args.max_len,
+    )
+    voices_dir = args.voices_dir
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):
+            if args.verbose:
+                super().log_message(fmt, *a)
+
+        def do_GET(self):
+            if self.path != "/health":
+                self.send_error(404)
+                return
+            body = json.dumps(
+                {"status": "ok", "active": sum(h is not None for h in engine.slots)}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except Exception as e:
+                self.send_error(400, f"bad request: {e}")
+                return
+
+            voice_samples = None
+            names = req.get("speaker_names")
+            if names:
+                from demo.inference_from_file import VoiceMapper
+
+                mapper = VoiceMapper(voices_dir)
+                voice_samples = [[mapper.get_voice_path(nm) for nm in names]]
+
+            try:
+                proc_out = processor(text=text, voice_samples=voice_samples)
+            except Exception as e:
+                self.send_error(400, f"processing failed: {e}")
+                return
+
+            handle = engine.submit(
+                Request(
+                    input_ids=proc_out.input_ids,
+                    valid_mask=proc_out.attention_mask,
+                    speech_tensors=proc_out.speech_tensors,
+                    speech_frame_valid=proc_out.speech_masks,
+                    speech_input_mask=proc_out.speech_input_mask,
+                    seed=int(req.get("seed", 0)),
+                )
+            )
+            try:
+                audio = handle.result(timeout=args.request_timeout)
+            except Exception as e:
+                self.send_error(500, f"generation failed: {e}")
+                return
+
+            pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(44 + len(pcm)))
+            self.end_headers()
+            self.wfile.write(wav_header(SAMPLE_RATE, len(pcm) // 2))
+            self.wfile.write(pcm)
+
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    server.engine = engine  # for tests / shutdown
+    return server
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", type=str, default=None)
+    ap.add_argument("--host", type=str, default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8400)
+    ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--max_len", type=int, default=4096)
+    ap.add_argument("--cfg_scale", type=float, default=1.3)
+    ap.add_argument("--ddpm_steps", type=int, default=10)
+    ap.add_argument("--int8", action="store_true", help="weight-only int8 serving")
+    ap.add_argument("--voices_dir", type=str, default=os.path.join(os.path.dirname(__file__), "voices"))
+    ap.add_argument("--request_timeout", type=float, default=600.0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    server = build_server(args)
+    print(f"Serving on http://{args.host}:{args.port} (POST /tts, GET /health)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()
