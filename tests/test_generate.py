@@ -168,3 +168,28 @@ def test_chunked_prefill_matches_single_shot(params):
             np.testing.assert_allclose(
                 np.asarray(la[s, :, :n]), np.asarray(lb[s, :, :n]), rtol=2e-5, atol=2e-5
             )
+
+
+def test_generate_with_pt_latents(params, step_fn):
+    """Voice cloning from precomputed latents (reference speech_type='pt',
+    modeling_vibevoice_inference.py:164-174)."""
+    rng = np.random.RandomState(2)
+    n_frames = 3
+    ids = rng.randint(10, 100, (1, 9)).astype(np.int64)
+    ids[0, 2:5] = TOKENS.speech_diffusion
+    ids[0, -1] = TOKENS.speech_start
+    mask = np.zeros((1, 9), bool)
+    mask[0, 2:5] = True
+    out = inf.generate(
+        CFG,
+        params,
+        input_ids=ids,
+        speech_tensors=rng.randn(1, n_frames, CFG.acoustic_vae_dim).astype(np.float32),
+        speech_frame_valid=np.ones((1, n_frames), bool),
+        speech_input_mask=mask,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=3, max_length=64),
+        speech_type="pt",
+        step_fn=step_fn,
+    )
+    assert set(np.unique(out.sequences[:, 9:])).issubset(set(TOKENS.candidates))

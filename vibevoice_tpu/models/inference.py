@@ -111,7 +111,7 @@ class GenerationOutput:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 3, 6, 7), donate_argnums=())
+@partial(jax.jit, static_argnums=(0, 3, 6, 7, 9), donate_argnums=())
 def prefill_fn(
     cfg: VibeVoiceConfig,
     params,
@@ -122,6 +122,7 @@ def prefill_fn(
     use_speech: bool,
     tokens: SpecialTokens,
     key,
+    speech_type: str = "audio",
 ):
     """Full-prompt prefill for both streams. Returns the initial DecodeCarry."""
     b, t = ids.shape
@@ -131,7 +132,7 @@ def prefill_fn(
 
     if use_speech:
         speech_tensors, speech_frame_valid, speech_input_mask, vae_key = speech_args
-        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key)
+        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key, speech_type)
         embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
 
     pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
@@ -216,6 +217,7 @@ def chunked_prefill(
     key,
     speech_args=None,
     chunk: int = 1024,
+    speech_type: str = "audio",
 ) -> DecodeCarry:
     """Long-prompt prefill in fixed-size chunks: bounds attention score/mask
     memory at O(chunk x S), enabling 64K prompts (SURVEY.md §5 long-context).
@@ -225,7 +227,7 @@ def chunked_prefill(
     embeds = qwen2.embed_tokens(params["lm"], ids)
     if speech_args is not None:
         speech_tensors, speech_frame_valid, speech_input_mask, vae_key = speech_args
-        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key)
+        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key, speech_type)
         embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
 
     lengths = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
@@ -415,6 +417,7 @@ def generate(
     speech_input_mask: Optional[np.ndarray] = None,
     tokens: SpecialTokens = SpecialTokens(),
     opts: GenerateOptions = GenerateOptions(),
+    speech_type: str = "audio",
     seed: int = 0,
     audio_streamer=None,
     stop_check_fn: Optional[Callable[[], bool]] = None,
@@ -443,14 +446,15 @@ def generate(
     use_speech = speech_tensors is not None
     speech_args = None
     if use_speech:
-        hop = cfg.acoustic_tokenizer_config.hop_length
-        expected_frames = -(-speech_tensors.shape[1] // hop)
-        if speech_frame_valid.shape[1] != expected_frames:
-            raise ValueError(
-                f"speech_frame_valid has {speech_frame_valid.shape[1]} frames but the "
-                f"acoustic tokenizer (hop {hop}) produces {expected_frames}; did the "
-                "processor use a mismatched speech_tok_compress_ratio?"
-            )
+        if speech_type == "audio":
+            hop = cfg.acoustic_tokenizer_config.hop_length
+            expected_frames = -(-speech_tensors.shape[1] // hop)
+            if speech_frame_valid.shape[1] != expected_frames:
+                raise ValueError(
+                    f"speech_frame_valid has {speech_frame_valid.shape[1]} frames but the "
+                    f"acoustic tokenizer (hop {hop}) produces {expected_frames}; did the "
+                    "processor use a mismatched speech_tok_compress_ratio?"
+                )
         speech_args = (
             jnp.asarray(speech_tensors),
             jnp.asarray(speech_frame_valid),
@@ -468,6 +472,7 @@ def generate(
             pk,
             speech_args=speech_args if use_speech else None,
             chunk=opts.prefill_chunk,
+            speech_type=speech_type,
         )
     else:
         carry = prefill_fn(
@@ -480,6 +485,7 @@ def generate(
             use_speech,
             tokens,
             pk,
+            speech_type,
         )
 
     k_frames = max(1, opts.frames_per_dispatch)

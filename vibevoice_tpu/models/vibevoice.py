@@ -149,15 +149,23 @@ def encode_voice_features(
     params: Params,
     speech_tensors: jnp.ndarray,
     key: Optional[jax.Array] = None,
+    speech_type: str = "audio",
 ) -> jnp.ndarray:
     """Voice-clone path: acoustic encode -> σ-VAE sample -> scale -> connector
-    (reference _process_speech_inputs, modeling_vibevoice_inference.py:149-163).
+    (reference _process_speech_inputs, modeling_vibevoice_inference.py:149-176).
 
-    speech_tensors: (N, T_wav) mono 24 kHz waveforms (right-padded).
+    speech_type="audio": speech_tensors are (N, T_wav) mono 24 kHz waveforms
+    (right-padded). speech_type="pt": speech_tensors are precomputed VAE
+    latent means (N, F, vae_dim) — the reference's `.pt` voice-preset path.
     Returns connector features (N, F, H).
     """
     acfg = cfg.acoustic_tokenizer_config
-    mean, _ = tok.encode(acfg, params["acoustic_tokenizer"], speech_tensors[..., None])
+    if speech_type == "pt":
+        mean = speech_tensors
+    elif speech_type == "audio":
+        mean, _ = tok.encode(acfg, params["acoustic_tokenizer"], speech_tensors[..., None])
+    else:
+        raise NotImplementedError(f"speech_type {speech_type}")
     if key is not None:
         latents = tok.sample_latents(key, mean, acfg.fix_std, acfg.std_dist_type)
     else:
