@@ -71,7 +71,16 @@ def main():
     ap.add_argument("--checkpoint_path", type=str, default=None, help="LoRA adapter dir")
     ap.add_argument("--disable_prefill", action="store_true")
     ap.add_argument("--device_dtype", type=str, default="bfloat16")
+    ap.add_argument("--frames_per_dispatch", type=int, default=8)
+    ap.add_argument("--int8", action="store_true", help="weight-only int8 serving mode")
+    ap.add_argument("--random_weights", action="store_true",
+                    help="random-init the FULL-SIZE model (pipeline validation without a checkpoint)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
+
+    from vibevoice_tpu.utils.platform import honor_platform_request
+
+    honor_platform_request("cpu" if args.cpu else None)
 
     import jax
     import jax.numpy as jnp
@@ -103,6 +112,26 @@ def main():
             eos=processor.tokenizer.eos_token_id,
         )
         hop = 3200
+    elif args.random_weights:
+        print("Random-weight FULL-SIZE 1.5B model (pipeline validation)")
+        from vibevoice_tpu.configs import VibeVoiceConfig
+
+        cfg = VibeVoiceConfig.from_json_file(
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json")
+        )
+        params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        hop = 3200
+        processor = VibeVoiceProcessor(
+            tokenizer=FallbackTextTokenizer(
+                vocab_size=cfg.decoder_config.vocab_size,
+                speech_start_id=151652, speech_end_id=151653,
+                speech_diffusion_id=151654, eos_token_id=151643, pad_id=151655,
+            )
+        )
+        tokens = inf.SpecialTokens(
+            speech_start=151652, speech_end=151653, speech_diffusion=151654, eos=151643
+        )
     else:
         print("No --model_path: running tiny random-weight smoke model")
         from vibevoice_tpu.configs import tiny_config
@@ -124,6 +153,9 @@ def main():
         rng = np.random.RandomState(0)
         voice_samples = [[rng.randn(hop * 4).astype(np.float32) * 0.05 for _ in range(2)]]
 
+    if args.int8:
+        params = vv.quantize_for_inference(params)
+
     proc_out = processor(text=script, voice_samples=voice_samples)
     prompt_tokens = int(proc_out.attention_mask.sum())
 
@@ -131,6 +163,9 @@ def main():
         cfg_scale=args.cfg_scale,
         ddpm_steps=args.ddpm_steps,
         max_length=args.max_length or (256 if args.model_path is None else None),
+        # file mode tolerates ~1 s of delivery granularity; scanning 8 frames
+        # per dispatch amortises host round-trips (README perf table)
+        frames_per_dispatch=args.frames_per_dispatch,
     )
 
     t0 = time.time()

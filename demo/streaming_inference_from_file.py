@@ -35,7 +35,12 @@ def main():
     ap.add_argument("--ddpm_steps", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_len", type=int, default=2048)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
+
+    from vibevoice_tpu.utils.platform import honor_platform_request
+
+    honor_platform_request("cpu" if args.cpu else None)
 
     import jax
 

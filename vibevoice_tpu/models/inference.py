@@ -435,6 +435,11 @@ def generate(
     lengths = valid_mask.sum(axis=1).astype(np.int64)
 
     max_length = opts.max_length or cfg.decoder_config.max_position_embeddings
+    if max_length <= t0:
+        raise ValueError(
+            f"max_length={max_length} must exceed the prompt length ({t0} tokens); "
+            "raise GenerateOptions.max_length or shorten the prompt"
+        )
     max_steps = int(min(max_length - t0, opts.max_length_times * t0))
     max_step_per_sample = np.minimum(
         max_length - lengths, (opts.max_length_times * lengths).astype(np.int64)

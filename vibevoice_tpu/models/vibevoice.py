@@ -160,6 +160,10 @@ def encode_voice_features(
     Returns connector features (N, F, H).
     """
     acfg = cfg.acoustic_tokenizer_config
+    # match model dtype (the reference casts speech_tensors.to(self.dtype),
+    # modeling_vibevoice_inference.py:222)
+    dtype = jax.tree_util.tree_leaves(params["acoustic_connector"])[0].dtype
+    speech_tensors = speech_tensors.astype(dtype)
     if speech_type == "pt":
         mean = speech_tensors
     elif speech_type == "audio":
