@@ -36,6 +36,7 @@ def np_ref(q, k, v, base):
         (2, 1, 4, 2, 256, [255, 0]),  # ragged, boundary
         (2, 4, 4, 2, 256, [0, 128]),  # prefill chunk (empty + mid)
         (1, 8, 8, 2, 128, [37]),  # block boundary not aligned
+        (1, 6, 28, 4, 256, [100]),  # 7B head layout (28q/4kv), window 6
     ],
 )
 def test_flash_matches_reference(b, w, nh, kh, s, lens):

@@ -167,3 +167,46 @@ class TestGoldenVsReference:
             ours_chunks.append(np.asarray(y))
         ours = np.concatenate(ours_chunks, axis=1).transpose(0, 2, 1)
         np.testing.assert_allclose(ours, ref, rtol=0, atol=3e-4)
+
+
+def test_dilated_conv_streaming_equals_batch():
+    """SConv1d supports dilation (reference :261); streaming context math
+    (k-1)*d-(s-1) must hold for d>1 too."""
+    from vibevoice_tpu.ops import conv as C
+
+    rng = np.random.RandomState(0)
+    k, d = 5, 3
+    w = jnp.asarray(rng.randn(k, 2, 3).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.randn(3).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(1, 48, 2).astype(np.float32))
+    full = C.causal_conv1d(x, w, b, dilation=d)
+
+    ctx = C.conv_context_size(k, 1, d)
+    state = jnp.zeros((1, ctx, 2))
+    outs = []
+    for i in range(0, 48, 8):
+        y, state = C.causal_conv1d_streaming(x[:, i : i + 8], state, w, b, dilation=d)
+        outs.append(y)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_strided_conv_streaming_equals_batch():
+    from vibevoice_tpu.ops import conv as C
+
+    rng = np.random.RandomState(1)
+    k, s = 8, 4  # downsample conv shape (ratio*2, ratio)
+    w = jnp.asarray(rng.randn(k, 2, 3).astype(np.float32) * 0.2)
+    x = jnp.asarray(rng.randn(1, 64, 2).astype(np.float32))
+    full = C.causal_conv1d(x, w, None, stride=s)
+
+    ctx = C.conv_context_size(k, s)
+    state = jnp.zeros((1, ctx, 2))
+    outs = []
+    for i in range(0, 64, 16):  # chunk multiple of stride
+        y, state = C.causal_conv1d_streaming(x[:, i : i + 16], state, w, None, stride=s)
+        outs.append(y)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full), rtol=1e-5, atol=1e-5
+    )
