@@ -193,3 +193,19 @@ def test_generate_with_pt_latents(params, step_fn):
         step_fn=step_fn,
     )
     assert set(np.unique(out.sequences[:, 9:])).issubset(set(TOKENS.candidates))
+
+
+def test_generate_with_int8_params(params, step_fn):
+    """quantize_for_inference plumbing through generate (tiny dims use the
+    dense fallback; the pallas path is validated in test_flash_attention)."""
+    qparams = vv.quantize_for_inference(params)
+    ids = np.full((1, 8), 25, np.int64)
+    ids[:, -1] = TOKENS.speech_start
+    out = inf.generate(
+        CFG,
+        qparams,
+        input_ids=ids,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=48),
+    )
+    assert set(np.unique(out.sequences[:, 8:])).issubset(set(TOKENS.candidates))

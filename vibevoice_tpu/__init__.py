@@ -22,6 +22,9 @@ from .configs import (
 )
 from .streamer import AsyncAudioStreamer, AudioStreamer
 
+# vibevoice_tpu.serving / .models / .finetune import jax and are intentionally
+# not re-exported here; import them as submodules.
+
 __all__ = [
     "configs",
     "AcousticTokenizerConfig",
