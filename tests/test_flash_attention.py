@@ -37,9 +37,14 @@ def np_ref(q, k, v, base):
         (2, 4, 4, 2, 256, [0, 128]),  # prefill chunk (empty + mid)
         (1, 8, 8, 2, 128, [37]),  # block boundary not aligned
         (1, 6, 28, 4, 256, [100]),  # 7B head layout (28q/4kv), window 6
+        (1, 80, 4, 2, 256, [64]),  # multi-q-tile prefill chunk (shrunk MAX_Q_ROWS)
     ],
 )
-def test_flash_matches_reference(b, w, nh, kh, s, lens):
+def test_flash_matches_reference(b, w, nh, kh, s, lens, monkeypatch):
+    import vibevoice_tpu.ops.flash_attention as fa
+
+    if w >= 64:
+        monkeypatch.setattr(fa, "MAX_Q_ROWS", 64)  # force several q tiles
     d = 128
     rng = np.random.RandomState(42)
     q = rng.randn(b, w, nh, d).astype(np.float32)

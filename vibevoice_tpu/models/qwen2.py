@@ -289,16 +289,9 @@ def forward(
         offsets = base
         # Mosaic DMA slices need 128-lane alignment on the head dim; both
         # flagship models use head_dim 128 (the 0.5B streaming LM's 64-dim
-        # heads stay on the XLA path). The kernel holds all W*G query rows in
-        # VMEM, so large prefill chunks (long prompts) use the XLA path — the
-        # flash win is the decode loop anyway (valid-prefix cache reads).
-        g = cfg.num_attention_heads // cfg.num_key_value_heads
-        flash = (
-            _flash_enabled()
-            and cfg.head_dim % 128 == 0
-            and s % 512 == 0
-            and t * g <= 1024
-        )
+        # heads stay on the XLA path). The kernel tiles query rows over the
+        # grid, so both decode windows and large prefill chunks qualify.
+        flash = _flash_enabled() and cfg.head_dim % 128 == 0 and s % 512 == 0
         if flash:
             # the kernel applies the (right-padding) causal rule itself; no
             # materialised mask needed — key at 64K context

@@ -29,6 +29,9 @@ DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
+MAX_Q_ROWS = 1024  # per-grid-cell query rows resident in VMEM
+
+
 def flash_cached_attention(
     q: jnp.ndarray,  # (B, W, NH, D)
     k_cache: jnp.ndarray,  # (B, KH, S, D) — chunk already written at base
@@ -38,7 +41,11 @@ def flash_cached_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, W, NH, D). Valid keys for query i: j <= base_lens[b] + i."""
+    """Returns (B, W, NH, D). Valid keys for query i: j <= base_lens[b] + i.
+
+    Large chunks (prefill) tile the folded W*G query rows over a third grid
+    dimension; each q tile only streams key blocks up to its own causal
+    horizon, so a full prefill does the triangular amount of work."""
     b, w, nh, d = q.shape
     kh, s = k_cache.shape[1], k_cache.shape[2]
     g = nh // kh
@@ -50,21 +57,25 @@ def flash_cached_attention(
 
     # (B, W, KH, G, D) -> (B, KH, W*G, D): rows of one KV group contiguous
     qg = q.reshape(b, w, kh, g, d).transpose(0, 2, 1, 3, 4).reshape(b, kh, r, d)
-    r_pad = max(8, -(-r // 8) * 8)  # sublane alignment
+    qb = min(MAX_Q_ROWS, max(8, -(-r // 8) * 8))
+    n_qb = -(-r // qb)
+    r_pad = n_qb * qb
     if r_pad != r:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
 
-    kernel = functools.partial(_kernel_zeroed, w=w, g=g, block_k=block_k, scale=scale)
+    kernel = functools.partial(_kernel_zeroed, w=w, g=g, block_k=block_k, scale=scale, qb=qb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, kh),
+        grid=(b, kh, n_qb),
         in_specs=[
-            pl.BlockSpec((1, 1, r_pad, d), lambda i, j, lens: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, r_pad, d), lambda i, j, lens: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
@@ -77,22 +88,27 @@ def flash_cached_attention(
     return out.reshape(b, kh, w, g, d).transpose(0, 2, 1, 3, 4).reshape(b, w, nh, d)
 
 
-def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale):
+def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale, qb):
     b = pl.program_id(0)
     h = pl.program_id(1)
+    qi = pl.program_id(2)
     base = lens_ref[b]
-    r = q_ref.shape[2]  # padded row count (>= w * g)
+    r = q_ref.shape[2]  # rows in this q tile
     d = q_ref.shape[-1]
+    row0 = qi * qb  # global first row of this tile
 
     def run(kb_scr, vb_scr, sem, acc_scr, m_scr, l_scr):
         acc_scr[...] = jnp.zeros_like(acc_scr)
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
 
-        total = base + w
+        # causal horizon of this tile: its last (global) row attends keys up
+        # to base + last_query_index, so later key blocks are never read
+        last_q_index = jnp.minimum((row0 + r - 1) // g, w - 1)
+        total = base + last_q_index + 1
         nblocks = pl.cdiv(total, block_k)
         q = q_ref[0, 0].astype(jnp.float32) * scale
-        row_pos = base + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) // g
+        row_pos = base + (row0 + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)) // g
 
         def get_dma(slot, kb):
             start = kb * block_k
