@@ -7,17 +7,33 @@ precompute every per-step coefficient on the host into a small table
 (`SolverCoeffs`) and run the whole K-step denoise loop as one `lax.scan`, so a
 frame's diffusion fuses into a single XLA program with no host round-trips.
 
-Supported (matching the reference's runtime surface):
+Supported (the reference's FULL runtime surface):
   * beta schedules: linear, scaled_linear, cosine/squaredcos_cap_v2, exp,
-    cauchy, laplace (reference :28-83, :232-247)
-  * prediction types: epsilon, sample, v_prediction (reference :570-594)
-  * algorithms: dpmsolver++ (ODE) and sde-dpmsolver++ (SDE; the Gradio demo's
-    mode, reference demo/gradio_demo.py:142-147), orders 1-2 with midpoint
-    second-order updates and the lower-order-final stabilisation (:977-1008)
-  * timestep spacings: linspace, leading, trailing (:358-382)
+    cauchy, laplace (reference :28-83, :232-247), plus `trained_betas`
+  * prediction types: epsilon, sample, v_prediction (reference :570-625)
+  * algorithms: dpmsolver++, sde-dpmsolver++ (the Gradio demo's mode,
+    reference demo/gradio_demo.py:142-147), dpmsolver, sde-dpmsolver
+    (reference :270-274; "deis" aliases to dpmsolver++ per :271-272)
+  * solver orders 1-3 with midpoint/heun second-order variants
+    ("logrho"/"bh1"/"bh2" alias to midpoint per :276-280) and the
+    lower-order-final / euler-at-final stabilisation (:977-1008)
+  * timestep spacings: linspace, leading (+steps_offset), trailing
+    (:358-382), Karras sigmas (:490-513), Lu lambdas (:515-526),
+    lambda_min_clipped (:352-355)
+  * dynamic thresholding (:427-457; pixel-model vestige, see `sample()`)
   * training utilities: add_noise, get_velocity (:1024-1062)
 
 All tables are float64 on host, stored float32.
+
+Every per-step update is expressed as one uniform linear rule
+
+    m0   = a_conv * x + b_conv * raw_model_output      (working space)
+    x'   = c_x * x + c_m0 * m0 + c_m1 * m1 + c_m2 * m2 + c_noise * z
+
+where (m1, m2) are the two previous converted outputs carried by the scan.
+The reference's D1/D2 finite-difference combinations (:755-920) are folded
+into (c_m0, c_m1, c_m2) on the host, so order 1/2/3, midpoint/heun, ODE/SDE,
+++/non-++ all run the same XLA scan body.
 """
 
 from __future__ import annotations
@@ -145,22 +161,26 @@ class NoiseSchedule:
 
 
 class SolverCoeffs(NamedTuple):
-    """Per-inference-step coefficients such that one solver step is
+    """Per-inference-step coefficients for the uniform scan rule
 
-        x0   = a_conv * x + b_conv * m          (model-output -> x0-space)
-        D1   = inv_r0 * (x0 - x0_prev)
-        x'   = c_x * x + c_d0 * x0 + c_d1 * D1 + c_noise * z
+        m0   = a_conv * x + b_conv * raw          (model output -> working space)
+        x'   = c_x * x + c_m0 * m0 + c_m1 * m1 + c_m2 * m2 + c_noise * z
 
-    covering first/second order, ODE and SDE dpmsolver++ uniformly."""
+    Working space is x0 for dpmsolver++/sde-dpmsolver++ and epsilon for
+    dpmsolver/sde-dpmsolver (reference convert_model_output :570-625).
+    alpha_s/sigma_s are the current-step VP pair, kept for the dynamic
+    thresholding round-trip (reference :591-592, :618-624)."""
 
     timesteps: jnp.ndarray  # (N,) float32, fed to the model
     a_conv: jnp.ndarray
     b_conv: jnp.ndarray
     c_x: jnp.ndarray
-    c_d0: jnp.ndarray
-    c_d1: jnp.ndarray
+    c_m0: jnp.ndarray
+    c_m1: jnp.ndarray
+    c_m2: jnp.ndarray
     c_noise: jnp.ndarray
-    inv_r0: jnp.ndarray
+    alpha_s: jnp.ndarray
+    sigma_s: jnp.ndarray
 
     @property
     def num_steps(self) -> int:
@@ -172,8 +192,9 @@ def _inference_timesteps(
     num_train_timesteps: int,
     timestep_spacing: str,
     last_timestep: Optional[int] = None,
+    steps_offset: int = 0,
 ) -> np.ndarray:
-    """Discrete model timesteps, descending (reference :349-382)."""
+    """Discrete model timesteps, descending (reference :357-382)."""
     last = num_train_timesteps if last_timestep is None else last_timestep
     if timestep_spacing == "linspace":
         return (
@@ -181,13 +202,41 @@ def _inference_timesteps(
         )
     if timestep_spacing == "leading":
         step_ratio = last // (num_inference_steps + 1)
-        return (np.arange(0, num_inference_steps + 1) * step_ratio).round()[::-1][:-1].astype(
+        ts = (np.arange(0, num_inference_steps + 1) * step_ratio).round()[::-1][:-1].astype(
             np.int64
         )
+        return ts + steps_offset
     if timestep_spacing == "trailing":
         step_ratio = num_train_timesteps / num_inference_steps
         return (np.arange(last, 0, -step_ratio).round() - 1).astype(np.int64)
     raise ValueError(timestep_spacing)
+
+
+def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
+    """Fractional train-timestep for given sigmas by piecewise-log-linear
+    interpolation (reference _sigma_to_t :460-481)."""
+    log_sigma = np.log(np.maximum(sigma, 1e-10))
+    dists = log_sigma - log_sigmas[:, None]
+    low_idx = np.cumsum((dists >= 0), axis=0).argmax(axis=0).clip(max=log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0, 1)
+    return ((1 - w) * low_idx + w * high_idx).reshape(np.shape(sigma))
+
+
+def _convert_to_karras(in_sigmas: np.ndarray, n: int, rho: float = 7.0) -> np.ndarray:
+    """Karras et al. (2022) sigma spacing (reference :490-513)."""
+    sigma_min, sigma_max = in_sigmas[-1], in_sigmas[0]
+    ramp = np.linspace(0, 1, n)
+    min_inv_rho, max_inv_rho = sigma_min ** (1 / rho), sigma_max ** (1 / rho)
+    return (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+
+
+def _convert_to_lu(in_lambdas: np.ndarray, n: int) -> np.ndarray:
+    """Lu et al. (2022) uniform-lambda spacing, rho=1 (reference :515-526)."""
+    lambda_min, lambda_max = in_lambdas[-1], in_lambdas[0]
+    ramp = np.linspace(0, 1, n)
+    return lambda_max + ramp * (lambda_min - lambda_max)
 
 
 def make_solver(
@@ -206,26 +255,70 @@ def make_solver(
     rescale_betas_zero_snr: bool = False,
     beta_start: float = 0.0001,
     beta_end: float = 0.02,
+    trained_betas: Optional[np.ndarray] = None,
+    use_karras_sigmas: bool = False,
+    use_lu_lambdas: bool = False,
+    lambda_min_clipped: float = -float("inf"),
+    steps_offset: int = 0,
 ) -> SolverCoeffs:
-    """Precompute the full solver table on host (float64)."""
-    if algorithm_type not in ("dpmsolver++", "sde-dpmsolver++"):
-        raise NotImplementedError(algorithm_type)
-    if solver_type != "midpoint":
-        raise NotImplementedError(solver_type)
-    if solver_order not in (1, 2):
-        raise NotImplementedError("orders 1-2 only (reference ships order 2)")
-    sde = algorithm_type == "sde-dpmsolver++"
+    """Precompute the full solver table on host (float64).
 
-    betas = make_betas(num_train_timesteps, beta_schedule, beta_start, beta_end)
+    Accepts every scheduler config the reference documents
+    (reference dpm_solver.py:203-227 and aliases :270-280)."""
+    if algorithm_type == "deis":  # reference :271-272
+        algorithm_type = "dpmsolver++"
+    if solver_type in ("logrho", "bh1", "bh2"):  # reference :277-280
+        solver_type = "midpoint"
+    if algorithm_type not in ("dpmsolver++", "sde-dpmsolver++", "dpmsolver", "sde-dpmsolver"):
+        raise NotImplementedError(f"{algorithm_type} is not implemented")
+    if solver_type not in ("midpoint", "heun"):
+        raise NotImplementedError(f"{solver_type} is not implemented")
+    if solver_order not in (1, 2, 3):
+        raise ValueError("solver_order must be 1, 2 or 3 (reference :141-143)")
+    plus = algorithm_type.endswith("++")
+    sde = algorithm_type.startswith("sde")
+    if sde and solver_order == 3:
+        # the reference's third-order update has no SDE branch and crashes
+        # with an unbound x_t (reference :893-909); fail loudly instead
+        raise NotImplementedError("order-3 SDE updates do not exist in the reference")
+    if not plus and final_sigmas_type == "zero":
+        # reference :282-285
+        raise ValueError(
+            f"final_sigmas_type 'zero' is not supported for {algorithm_type}; use 'sigma_min'"
+        )
+
+    if trained_betas is not None:
+        betas = np.asarray(trained_betas, np.float64)
+    else:
+        betas = make_betas(num_train_timesteps, beta_schedule, beta_start, beta_end)
     if rescale_betas_zero_snr:
         betas = rescale_zero_terminal_snr(betas)
     ac = np.cumprod(1.0 - betas)
     if rescale_betas_zero_snr:
         ac[-1] = 2**-24
     sigmas_full = np.sqrt((1 - ac) / ac)
+    log_sigmas = np.log(sigmas_full)
 
-    timesteps = _inference_timesteps(num_inference_steps, num_train_timesteps, timestep_spacing)
-    sigmas = np.interp(timesteps, np.arange(len(sigmas_full)), sigmas_full)
+    # lambda(t) = -log sigma_karras(t); clip its minimum (reference :352-355)
+    lambda_full = -log_sigmas
+    if np.isfinite(lambda_min_clipped):
+        clipped_idx = int(np.searchsorted(lambda_full[::-1], lambda_min_clipped))
+        last_timestep = num_train_timesteps - clipped_idx
+    else:
+        last_timestep = num_train_timesteps
+
+    if use_karras_sigmas:
+        sigmas = _convert_to_karras(sigmas_full[::-1], num_inference_steps)
+        timesteps = _sigma_to_t(sigmas, log_sigmas).round()
+    elif use_lu_lambdas:
+        lambdas = _convert_to_lu(log_sigmas[::-1], num_inference_steps)
+        sigmas = np.exp(lambdas)
+        timesteps = _sigma_to_t(sigmas, log_sigmas).round()
+    else:
+        timesteps = _inference_timesteps(
+            num_inference_steps, num_train_timesteps, timestep_spacing, last_timestep, steps_offset
+        )
+        sigmas = np.interp(timesteps, np.arange(len(sigmas_full)), sigmas_full)
     if final_sigmas_type == "zero":
         sigma_last = 0.0
     elif final_sigmas_type == "sigma_min":
@@ -240,70 +333,137 @@ def make_solver(
         alpha = 1.0 / np.sqrt(sigma**2 + 1)
         return alpha, sigma * alpha
 
+    def lam_of(alpha, sigma):
+        return np.log(alpha) - np.log(sigma) if sigma > 0 else np.inf
+
     with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
         a_conv = np.zeros(n)
         b_conv = np.zeros(n)
         c_x = np.zeros(n)
-        c_d0 = np.zeros(n)
-        c_d1 = np.zeros(n)
+        c_m = np.zeros((n, 3))
         c_noise = np.zeros(n)
-        inv_r0 = np.zeros(n)
+        alpha_s_tab = np.zeros(n)
+        sigma_s_tab = np.zeros(n)
 
         lower_order_nums = 0
         for i in range(n):
-            alpha_s, sigma_s = split(sigmas[i])
+            alpha_s0, sigma_s0 = split(sigmas[i])
             alpha_t, sigma_t = split(sigmas[i + 1])
+            alpha_s_tab[i], sigma_s_tab[i] = alpha_s0, sigma_s0
 
-            # model output -> x0 space (reference convert_model_output :570-594)
-            if prediction_type == "v_prediction":
-                a_conv[i], b_conv[i] = alpha_s, -sigma_s
-            elif prediction_type == "epsilon":
-                a_conv[i], b_conv[i] = 1.0 / alpha_s, -sigma_s / alpha_s
-            elif prediction_type == "sample":
-                a_conv[i], b_conv[i] = 0.0, 1.0
-            else:
-                raise ValueError(prediction_type)
+            # model output -> working space (reference :570-625)
+            if plus:  # x0 space
+                if prediction_type == "v_prediction":
+                    a_conv[i], b_conv[i] = alpha_s0, -sigma_s0
+                elif prediction_type == "epsilon":
+                    a_conv[i], b_conv[i] = 1.0 / alpha_s0, -sigma_s0 / alpha_s0
+                elif prediction_type == "sample":
+                    a_conv[i], b_conv[i] = 0.0, 1.0
+                else:
+                    raise ValueError(prediction_type)
+            else:  # epsilon space
+                if prediction_type == "epsilon":
+                    a_conv[i], b_conv[i] = 0.0, 1.0
+                elif prediction_type == "sample":
+                    a_conv[i], b_conv[i] = 1.0 / sigma_s0, -alpha_s0 / sigma_s0
+                elif prediction_type == "v_prediction":
+                    a_conv[i], b_conv[i] = sigma_s0, alpha_s0
+                else:
+                    raise ValueError(prediction_type)
 
-            lam_t = np.log(alpha_t) - np.log(sigma_t) if sigma_t > 0 else np.inf
-            lam_s = np.log(alpha_s) - np.log(sigma_s)
-            h = lam_t - lam_s
+            lam_t = lam_of(alpha_t, sigma_t)
+            lam_s0 = lam_of(alpha_s0, sigma_s0)
+            h = lam_t - lam_s0
 
-            is_last = i == n - 1
-            use_first = (
-                solver_order == 1
-                or lower_order_nums < 1
-                or (
-                    is_last
-                    and (
-                        euler_at_final
-                        or (lower_order_final and n < 15)
-                        or final_sigmas_type == "zero"
-                    )
-                )
+            # order selection, exactly the reference step() logic (:977-1008)
+            force_first = (i == n - 1) and (
+                euler_at_final
+                or (lower_order_final and n < 15)
+                or final_sigmas_type == "zero"
             )
-            use_second_forced = (i == n - 2) and lower_order_final and n < 15
+            force_second = (i == n - 2) and lower_order_final and n < 15
+            if solver_order == 1 or lower_order_nums < 1 or force_first:
+                order = 1
+            elif solver_order == 2 or lower_order_nums < 2 or force_second:
+                order = 2
+            else:
+                order = 3
 
-            if not use_first and (solver_order == 2 or lower_order_nums < 2 or use_second_forced):
+            # per-step scalar multipliers A_x (on x), A_D[k] (on D0/D1/D2),
+            # A_noise (reference :671-694 first, :755-818 second, :893-909 third)
+            em_h, ep_h = np.exp(-h), np.exp(h)
+            A_d = np.zeros(3)
+            if plus and not sde:
+                A_x = sigma_t / sigma_s0 if sigma_s0 > 0 else 0.0
+                phi = em_h - 1.0
+                A_d[0] = -alpha_t * phi
+                if order == 2:
+                    A_d[1] = (
+                        -0.5 * alpha_t * phi
+                        if solver_type == "midpoint"
+                        else alpha_t * (phi / h + 1.0)
+                    )
+                elif order == 3:
+                    A_d[1] = alpha_t * (phi / h + 1.0)
+                    A_d[2] = -alpha_t * ((phi + h) / h**2 - 0.5)
+                A_noise = 0.0
+            elif plus and sde:
+                A_x = (sigma_t / sigma_s0) * em_h if sigma_s0 > 0 else 0.0
+                psi = 1.0 - em_h**2
+                A_d[0] = alpha_t * psi
+                if order == 2:
+                    A_d[1] = (
+                        0.5 * alpha_t * psi
+                        if solver_type == "midpoint"
+                        else alpha_t * (psi / (-2.0 * h) + 1.0)
+                    )
+                A_noise = sigma_t * np.sqrt(max(psi, 0.0))
+            elif not plus and not sde:
+                A_x = alpha_t / alpha_s0
+                phi = ep_h - 1.0
+                A_d[0] = -sigma_t * phi
+                if order == 2:
+                    A_d[1] = (
+                        -0.5 * sigma_t * phi
+                        if solver_type == "midpoint"
+                        else -sigma_t * (phi / h - 1.0)
+                    )
+                elif order == 3:
+                    A_d[1] = -sigma_t * (phi / h - 1.0)
+                    A_d[2] = -sigma_t * ((phi - h) / h**2 - 0.5)
+                A_noise = 0.0
+            else:  # sde-dpmsolver
+                A_x = alpha_t / alpha_s0
+                phi = ep_h - 1.0
+                A_d[0] = -2.0 * sigma_t * phi
+                if order == 2:
+                    A_d[1] = (
+                        -sigma_t * phi
+                        if solver_type == "midpoint"
+                        else -2.0 * sigma_t * (phi / h - 1.0)
+                    )
+                A_noise = sigma_t * np.sqrt(max(ep_h**2 - 1.0, 0.0))
+
+            # fold the D0/D1/D2 finite differences into (m0, m1, m2) weights
+            # (reference D definitions :754-756 second order, :888-892 third)
+            if order == 1:
+                c_m[i] = A_d[0], 0.0, 0.0
+            else:
                 alpha_s1, sigma_s1 = split(sigmas[i - 1])
-                lam_s1 = np.log(alpha_s1) - np.log(sigma_s1)
-                h0 = lam_s - lam_s1
-                r0 = h0 / h
-                inv_r0[i] = 1.0 / r0
-            else:
-                inv_r0[i] = 0.0
+                r0 = (lam_s0 - lam_of(alpha_s1, sigma_s1)) / h
+                d10 = np.array([1.0 / r0, -1.0 / r0, 0.0])  # D1_0 = (m0-m1)/r0
+                if order == 2:
+                    c_m[i] = A_d[0] * np.array([1.0, 0.0, 0.0]) + A_d[1] * d10
+                else:
+                    alpha_s2, sigma_s2 = split(sigmas[i - 2])
+                    r1 = (lam_of(alpha_s1, sigma_s1) - lam_of(alpha_s2, sigma_s2)) / h
+                    d11 = np.array([0.0, 1.0 / r1, -1.0 / r1])  # D1_1 = (m1-m2)/r1
+                    d1 = d10 + (r0 / (r0 + r1)) * (d10 - d11)
+                    d2 = (d10 - d11) / (r0 + r1)
+                    c_m[i] = A_d[0] * np.array([1.0, 0.0, 0.0]) + A_d[1] * d1 + A_d[2] * d2
 
-            em_h = np.exp(-h)  # exp(-h); h may be inf on the final zero-sigma step
-            if not sde:
-                c_x[i] = sigma_t / sigma_s if sigma_s > 0 else 0.0
-                c_d0[i] = -(alpha_t * (em_h - 1.0))
-                c_d1[i] = 0.0 if inv_r0[i] == 0.0 else -0.5 * (alpha_t * (em_h - 1.0))
-                c_noise[i] = 0.0
-            else:
-                c_x[i] = (sigma_t / sigma_s) * em_h if sigma_s > 0 else 0.0
-                c_d0[i] = alpha_t * (1 - em_h**2)
-                c_d1[i] = 0.0 if inv_r0[i] == 0.0 else 0.5 * (alpha_t * (1 - em_h**2))
-                c_noise[i] = sigma_t * np.sqrt(max(1.0 - em_h**2, 0.0))
-
+            c_x[i] = A_x
+            c_noise[i] = A_noise
             if lower_order_nums < solver_order:
                 lower_order_nums += 1
 
@@ -313,11 +473,23 @@ def make_solver(
         a_conv=f32(a_conv),
         b_conv=f32(b_conv),
         c_x=f32(c_x),
-        c_d0=f32(c_d0),
-        c_d1=f32(c_d1),
+        c_m0=f32(c_m[:, 0]),
+        c_m1=f32(c_m[:, 1]),
+        c_m2=f32(c_m[:, 2]),
         c_noise=f32(c_noise),
-        inv_r0=f32(inv_r0),
+        alpha_s=f32(alpha_s_tab),
+        sigma_s=f32(sigma_s_tab),
     )
+
+
+def _threshold_x0(x0: jnp.ndarray, ratio: float, max_value: float) -> jnp.ndarray:
+    """Dynamic thresholding (reference _threshold_sample :427-457): clamp each
+    sample to +/- its `ratio` abs-quantile (floored at 1) and renormalise."""
+    b = x0.shape[0]
+    flat = jnp.abs(x0.reshape(b, -1))
+    s = jnp.clip(jnp.quantile(flat, ratio, axis=1), 1.0, max_value)
+    s = s.reshape((b,) + (1,) * (x0.ndim - 1))
+    return jnp.clip(x0, -s, s) / s
 
 
 def sample(
@@ -325,35 +497,57 @@ def sample(
     denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     x_init: jnp.ndarray,
     key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
+    thresholding: bool = False,
+    dynamic_thresholding_ratio: float = 0.995,
+    sample_max_value: float = 1.0,
+    eps_space: bool = False,
 ) -> jnp.ndarray:
     """Run the full multistep solve as a `lax.scan`.
 
     denoise_fn(x, t) -> raw model output for a batch x (t is scalar-per-batch
     broadcast by the caller). The solve runs in float32 (reference step()
     upcasts, :993).
-    """
+
+    `noise`, if given, is an (N, *x.shape) array of per-step SDE variance
+    noise used instead of drawing from `key` (the reference's
+    `variance_noise` argument, :956-960) — the fidelity-harness hook.
+    `thresholding` applies the reference's dynamic thresholding (:427-457);
+    set eps_space=True when coeffs were built for dpmsolver/sde-dpmsolver so
+    the epsilon<->x0 round-trip (:618-624) is applied."""
     n = coeffs.num_steps
-    if key is None:
-        keys = jnp.zeros((n, 2), jnp.uint32)
-        use_noise = False
+    if noise is not None:
+        z_seq = noise.astype(jnp.float32)
+        use_keys = False
+    elif key is not None:
+        z_seq = jax.random.split(key, n)
+        use_keys = True
     else:
-        keys = jax.random.split(key, n)
-        use_noise = True
+        z_seq = jnp.zeros((n,) + x_init.shape, jnp.float32)
+        use_keys = False
 
     x_init = x_init.astype(jnp.float32)
 
     def step(carry, inp):
-        x, x0_prev = carry
-        c, k = inp
+        x, m1, m2 = carry
+        c, z = inp
         t = jnp.broadcast_to(c.timesteps, (x.shape[0],))
-        m = denoise_fn(x, t).astype(jnp.float32)
-        x0 = c.a_conv * x + c.b_conv * m
-        d1 = c.inv_r0 * (x0 - x0_prev)
-        z = jax.random.normal(k, x.shape, jnp.float32) if use_noise else jnp.zeros_like(x)
-        x_new = c.c_x * x + c.c_d0 * x0 + c.c_d1 * d1 + c.c_noise * z
-        return (x_new, x0), None
+        raw = denoise_fn(x, t).astype(jnp.float32)
+        m0 = c.a_conv * x + c.b_conv * raw
+        if thresholding:
+            if eps_space:
+                x0 = (x - c.sigma_s * m0) / c.alpha_s
+                x0 = _threshold_x0(x0, dynamic_thresholding_ratio, sample_max_value)
+                m0 = (x - c.alpha_s * x0) / c.sigma_s
+            else:
+                m0 = _threshold_x0(m0, dynamic_thresholding_ratio, sample_max_value)
+        zz = jax.random.normal(z, x.shape, jnp.float32) if use_keys else z
+        x_new = c.c_x * x + c.c_m0 * m0 + c.c_m1 * m1 + c.c_m2 * m2 + c.c_noise * zz
+        return (x_new, m0, m1), None
 
-    (x, _), _ = jax.lax.scan(step, (x_init, jnp.zeros_like(x_init)), (coeffs, keys))
+    (x, _, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init), jnp.zeros_like(x_init)), (coeffs, z_seq)
+    )
     return x
 
 
@@ -365,6 +559,7 @@ def cfg_sample(
     cfg_scale: float | jnp.ndarray,
     x_init: jnp.ndarray,
     key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Classifier-free-guided solve (reference sample_speech_tokens,
     modeling_vibevoice_inference.py:697-710): the head runs on a 2B batch of
@@ -378,4 +573,4 @@ def cfg_sample(
         c, u = jnp.split(out, 2, axis=0)
         return u + cfg_scale * (c - u)
 
-    return sample(coeffs, denoise, x_init, key)
+    return sample(coeffs, denoise, x_init, key, noise=noise)
