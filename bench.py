@@ -62,6 +62,7 @@ def main():
         h_pos=jnp.zeros((batch, cfg.decoder_config.hidden_size), dtype),
         h_neg=jnp.zeros((batch, cfg.decoder_config.hidden_size), dtype),
         finished=jnp.zeros((batch,), bool),
+        n_diff=jnp.zeros((batch,), jnp.int32),
     )
     ext = jnp.zeros((frames_per_dispatch, batch), bool)
     key = jax.random.PRNGKey(1)

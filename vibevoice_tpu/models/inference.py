@@ -87,6 +87,7 @@ class DecodeCarry(NamedTuple):
     h_pos: jnp.ndarray  # (B, H) hidden that will emit this step's token
     h_neg: jnp.ndarray  # (B, H)
     finished: jnp.ndarray  # (B,) bool
+    n_diff: jnp.ndarray  # (B,) int32 diffusion-event count (noise-bank index)
 
 
 class StepOut(NamedTuple):
@@ -131,8 +132,10 @@ def prefill_fn(
     embeds = qwen2.embed_tokens(params["lm"], ids)
 
     if use_speech:
-        speech_tensors, speech_frame_valid, speech_input_mask, vae_key = speech_args
-        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key, speech_type)
+        speech_tensors, speech_frame_valid, speech_input_mask, vae_key, vae_noise = speech_args
+        feats = vv.encode_voice_features(
+            cfg, params, speech_tensors, vae_key, speech_type, vae_noise
+        )
         embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
 
     pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
@@ -155,6 +158,7 @@ def prefill_fn(
         h_pos=h_pos,
         h_neg=h_neg[:, 0],
         finished=jnp.zeros((b,), bool),
+        n_diff=jnp.zeros((b,), jnp.int32),
     )
 
 
@@ -226,8 +230,10 @@ def chunked_prefill(
     b, t = ids.shape
     embeds = qwen2.embed_tokens(params["lm"], ids)
     if speech_args is not None:
-        speech_tensors, speech_frame_valid, speech_input_mask, vae_key = speech_args
-        feats = vv.encode_voice_features(cfg, params, speech_tensors, vae_key, speech_type)
+        speech_tensors, speech_frame_valid, speech_input_mask, vae_key, vae_noise = speech_args
+        feats = vv.encode_voice_features(
+            cfg, params, speech_tensors, vae_key, speech_type, vae_noise
+        )
         embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
 
     lengths = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
@@ -253,16 +259,29 @@ def chunked_prefill(
         h_pos=h_pos,
         h_neg=h_neg,
         finished=jnp.zeros((b,), bool),
+        n_diff=jnp.zeros((b,), jnp.int32),
     )
 
 
-def make_step_fn(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions):
+def make_step_fn(
+    cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions, inject: bool = False
+):
     """Builds the fused per-frame step function (jitted, carry donated)."""
-    return jax.jit(_make_step_body(cfg, tokens, opts), donate_argnums=(1,))
+    return jax.jit(_make_step_body(cfg, tokens, opts, inject), donate_argnums=(1,))
 
 
-def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions):
-    """Unjitted fused step body (shared by the single-step and scanned paths)."""
+def _make_step_body(
+    cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions, inject: bool = False
+):
+    """Unjitted fused step body (shared by the single-step and scanned paths).
+
+    With inject=True the step takes an extra `hooks` argument
+    {"forced": (B,) int32 forced token or -1,
+     "init": (E, B, D) per-diffusion-event initial latent noise,
+     "sde": (E, S, B, D) per-event per-solver-step SDE noise or None},
+    indexed by the carried per-sample diffusion-event counter — the
+    fidelity-harness analog of the reference's torch.randn draws
+    (reference modeling_vibevoice_inference.py:701, dpm_solver.py:956-960)."""
     lm_cfg = cfg.decoder_config
     acfg = cfg.acoustic_tokenizer_config
     scfg = cfg.semantic_tokenizer_config
@@ -276,7 +295,7 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
     )
     cand = jnp.asarray(tokens.candidates, jnp.int32)
 
-    def step_body(params, carry: DecodeCarry, key, ext_finish):
+    def step_body(params, carry: DecodeCarry, key, ext_finish, hooks=None):
         b = carry.h_pos.shape[0]
         k_tok, k_lat, k_sde = jax.random.split(key, 3)
 
@@ -289,6 +308,8 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
         else:
             choice = jnp.argmax(cand_logits, axis=-1)
         next_tok = cand[choice]
+        if inject:
+            next_tok = jnp.where(hooks["forced"] >= 0, hooks["forced"], next_tok)
         next_tok = jnp.where(carry.finished, tokens.eos, next_tok)
 
         finished = carry.finished | (next_tok == tokens.eos) | ext_finish
@@ -312,16 +333,30 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
 
         # ---- 4. CFG diffusion scan (reference :629-633, :697-710) ---------
         head_fn = lambda x, t, c: dh.apply(params["diffusion_head"], hcfg, x, t, c)
-        x_init = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+        if inject:
+            e = jnp.clip(carry.n_diff, 0, hooks["init"].shape[0] - 1)
+            rows = jnp.arange(b)
+            x_init = hooks["init"][e, rows].astype(jnp.float32)
+            sde_noise = (
+                jnp.transpose(hooks["sde"][e, :, rows], (1, 0, 2)).astype(jnp.float32)
+                if opts.sde
+                else None
+            )
+            sde_key = None
+        else:
+            x_init = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+            sde_noise = None
+            sde_key = k_sde if opts.sde else None
         with jax.named_scope("cfg_diffusion"):
             latent = dpm.cfg_sample(
-            coeffs,
-            head_fn,
-            carry.h_pos,
-            carry.h_neg,
-            opts.cfg_scale,
+                coeffs,
+                head_fn,
+                carry.h_pos,
+                carry.h_neg,
+                opts.cfg_scale,
                 x_init,
-                key=k_sde if opts.sde else None,
+                key=sde_key,
+                noise=sde_noise,
             )
 
         # ---- 5. vocode one frame + semantic re-encode (reference :636-664)
@@ -366,6 +401,7 @@ def _make_step_body(cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateO
             h_pos=h_both[:b, 0],
             h_neg=h_both[b:, 0],
             finished=finished,
+            n_diff=carry.n_diff + diff_mask.astype(jnp.int32),
         )
         out = StepOut(tokens=next_tok, audio=audio, audio_mask=diff_mask, finished=finished)
         return new_carry, out
@@ -378,6 +414,7 @@ def make_multi_step_fn(
     tokens: SpecialTokens,
     opts: GenerateOptions,
     frames_per_dispatch: int,
+    inject: bool = False,
 ):
     """Device-resident loop: scans `frames_per_dispatch` fused frame steps in
     one XLA dispatch, amortising host round-trips (the TPU answer to the
@@ -385,17 +422,24 @@ def make_multi_step_fn(
     modeling_vibevoice_inference.py:432-495).
 
     Returns multi_step(params, carry, key, ext_finish (K, B)) ->
-    (carry, StepOut stacked over K)."""
-    single = _make_step_body(cfg, tokens, opts)
+    (carry, StepOut stacked over K). With inject=True takes a trailing
+    `hooks` dict whose "forced" entry is (K, B)."""
+    single = _make_step_body(cfg, tokens, opts, inject)
 
-    def multi(params, carry, key, ext_finish):
+    def multi(params, carry, key, ext_finish, hooks=None):
         keys = jax.random.split(key, frames_per_dispatch)
 
         def body(c, inp):
-            k, ext = inp
-            return single(params, c, k, ext)
+            k, ext, forced = inp
+            h = None if not inject else {**hooks, "forced": forced}
+            return single(params, c, k, ext, h)
 
-        carry, outs = jax.lax.scan(body, carry, (keys, ext_finish))
+        forced_seq = (
+            hooks["forced"]
+            if inject
+            else jnp.zeros((frames_per_dispatch, ext_finish.shape[1]), jnp.int32)
+        )
+        carry, outs = jax.lax.scan(body, carry, (keys, ext_finish, forced_seq))
         return carry, outs
 
     return jax.jit(multi, donate_argnums=(1,))
@@ -423,11 +467,20 @@ def generate(
     stop_check_fn: Optional[Callable[[], bool]] = None,
     show_progress_bar: bool = False,
     step_fn=None,
+    noise_bank: Optional[Dict[str, np.ndarray]] = None,
+    forced_tokens: Optional[np.ndarray] = None,
 ) -> GenerationOutput:
     """Host loop: prefill once, then one fused device step per frame
     (call-stack parity: SURVEY.md §3.1).
 
     input_ids must be RIGHT-padded; `valid_mask` marks real tokens.
+
+    Fidelity-harness hooks (both optional, used by tests/test_e2e_fidelity.py
+    to replay the reference's exact noise draws):
+      noise_bank: {"init": (E, B, D), "sde": (E, S, B, D) [sde mode only],
+                   "vae_std": (N,), "vae_eps": (N, F, D) [voice-clone only]}
+      forced_tokens: (T, B) int32 token script; -1 entries fall through to
+                     the model's own argmax/sample choice.
     """
     b, t0 = input_ids.shape
     if valid_mask is None:
@@ -460,11 +513,18 @@ def generate(
                     f"acoustic tokenizer (hop {hop}) produces {expected_frames}; did the "
                     "processor use a mismatched speech_tok_compress_ratio?"
                 )
+        vae_noise = None
+        if noise_bank is not None and "vae_eps" in noise_bank:
+            vae_noise = (
+                jnp.asarray(noise_bank["vae_std"]),
+                jnp.asarray(noise_bank["vae_eps"]),
+            )
         speech_args = (
             jnp.asarray(speech_tensors),
             jnp.asarray(speech_frame_valid),
             jnp.asarray(speech_input_mask),
             vk,
+            vae_noise,
         )
     if t0 > opts.prefill_chunk:
         carry = chunked_prefill(
@@ -493,12 +553,28 @@ def generate(
             speech_type,
         )
 
+    inject = noise_bank is not None or forced_tokens is not None
     k_frames = max(1, opts.frames_per_dispatch)
     if step_fn is None:
         if k_frames > 1:
-            step_fn = make_multi_step_fn(cfg, tokens, opts, k_frames)
+            step_fn = make_multi_step_fn(cfg, tokens, opts, k_frames, inject)
         else:
-            step_fn = make_step_fn(cfg, tokens, opts)
+            step_fn = make_step_fn(cfg, tokens, opts, inject)
+
+    hooks_base = None
+    if inject:
+        d = cfg.acoustic_vae_dim
+        bank = noise_bank or {}
+        init = bank.get("init")
+        if init is None:
+            # forced-tokens-only injection: one fixed init draw per sample
+            # (the event counter clips to bank row 0 every frame)
+            init = jax.random.normal(jax.random.PRNGKey(seed ^ 0x5EED), (1, b, d), jnp.float32)
+        hooks_base = {"init": jnp.asarray(init)}
+        if opts.sde:
+            if "sde" not in bank:
+                raise ValueError("injection with opts.sde requires noise_bank['sde']")
+            hooks_base["sde"] = jnp.asarray(bank["sde"])
 
     sequences = [input_ids]
     audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
@@ -529,14 +605,27 @@ def generate(
         ext_finish = steps_now[:, None] >= max_step_per_sample[None, :]  # (K, B)
 
         key, sk = jax.random.split(key)
+        hooks = None
+        if inject:
+            if forced_tokens is not None:
+                forced_now = np.full((k_frames, b), -1, np.int32)
+                avail = forced_tokens[step : step + k_frames]
+                forced_now[: len(avail)] = avail
+            else:
+                forced_now = np.full((k_frames, b), -1, np.int32)
+            hooks = {**hooks_base, "forced": jnp.asarray(forced_now)}
         if k_frames > 1:
-            carry, out = step_fn(params, carry, sk, jnp.asarray(ext_finish))
+            args = (jnp.asarray(ext_finish),) + ((hooks,) if inject else ())
+            carry, out = step_fn(params, carry, sk, *args)
             toks = np.asarray(out.tokens)  # (K, B)
             amask = np.asarray(out.audio_mask)  # (K, B)
             audio = np.asarray(out.audio) if amask.any() else None  # (K, B, hop, 1)
             fin = np.asarray(out.finished)  # (K, B)
         else:
-            carry, out = step_fn(params, carry, sk, jnp.asarray(ext_finish[0]))
+            if inject:
+                hooks = {**hooks, "forced": hooks["forced"][0]}
+            args = (jnp.asarray(ext_finish[0]),) + ((hooks,) if inject else ())
+            carry, out = step_fn(params, carry, sk, *args)
             toks = np.asarray(out.tokens)[None]
             amask = np.asarray(out.audio_mask)[None]
             audio = np.asarray(out.audio)[None] if amask.any() else None

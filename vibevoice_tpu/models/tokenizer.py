@@ -387,6 +387,25 @@ def sample_latents(key, mean: jnp.ndarray, fix_std: float, dist_type: str) -> jn
     raise ValueError(f"unknown dist_type {dist_type}")
 
 
+def sample_latents_from_noise(
+    mean: jnp.ndarray, fix_std: float, dist_type: str, std_eps: jnp.ndarray, eps: jnp.ndarray
+) -> jnp.ndarray:
+    """sample_latents with explicit standard-normal draws instead of a key —
+    the fidelity-harness hook matching the reference's two torch.randn calls
+    (reference modular_vibevoice_tokenizer.py:977-989: `std_eps` is the (B,)
+    per-sample std draw, `eps` the elementwise draw)."""
+    if dist_type == "none":
+        return mean
+    if dist_type == "fix":
+        return mean + fix_std * eps.astype(mean.dtype)
+    if dist_type == "gaussian":
+        std = std_eps.reshape((mean.shape[0],) + (1,) * (mean.ndim - 1)).astype(mean.dtype) * (
+            fix_std / 0.8
+        )
+        return mean + std * eps.astype(mean.dtype)
+    raise ValueError(f"unknown dist_type {dist_type}")
+
+
 def kl_loss(mean: jnp.ndarray) -> jnp.ndarray:
     """Per-element "KL" of the σ-VAE posterior — the reference computes plain
     MSE of the mean against zero (reference VibeVoiceTokenizerEncoderOutput.kl,

@@ -150,6 +150,7 @@ def encode_voice_features(
     speech_tensors: jnp.ndarray,
     key: Optional[jax.Array] = None,
     speech_type: str = "audio",
+    vae_noise: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Voice-clone path: acoustic encode -> σ-VAE sample -> scale -> connector
     (reference _process_speech_inputs, modeling_vibevoice_inference.py:149-176).
@@ -157,6 +158,8 @@ def encode_voice_features(
     speech_type="audio": speech_tensors are (N, T_wav) mono 24 kHz waveforms
     (right-padded). speech_type="pt": speech_tensors are precomputed VAE
     latent means (N, F, vae_dim) — the reference's `.pt` voice-preset path.
+    vae_noise, if given, is an explicit (std_eps (N,), eps (N, F, vae_dim))
+    pair used instead of drawing from `key` (fidelity-harness hook).
     Returns connector features (N, F, H).
     """
     acfg = cfg.acoustic_tokenizer_config
@@ -170,7 +173,11 @@ def encode_voice_features(
         mean, _ = tok.encode(acfg, params["acoustic_tokenizer"], speech_tensors[..., None])
     else:
         raise NotImplementedError(f"speech_type {speech_type}")
-    if key is not None:
+    if vae_noise is not None:
+        latents = tok.sample_latents_from_noise(
+            mean, acfg.fix_std, acfg.std_dist_type, vae_noise[0], vae_noise[1]
+        )
+    elif key is not None:
         latents = tok.sample_latents(key, mean, acfg.fix_std, acfg.std_dist_type)
     else:
         latents = mean

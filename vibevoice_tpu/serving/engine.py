@@ -65,6 +65,7 @@ def _join_slot(carry: inf.DecodeCarry, single: inf.DecodeCarry, slot, batch: int
         h_pos=put_row(carry.h_pos, single.h_pos, slot),
         h_neg=put_row(carry.h_neg, single.h_neg, slot),
         finished=carry.finished.at[slot].set(False),
+        n_diff=carry.n_diff.at[slot].set(0),
     )
 
 
@@ -146,6 +147,7 @@ class ServingEngine:
             h_pos=jnp.zeros((b, cfg.decoder_config.hidden_size), dtype),
             h_neg=jnp.zeros((b, cfg.decoder_config.hidden_size), dtype),
             finished=jnp.ones((b,), bool),  # all slots idle
+            n_diff=jnp.zeros((b,), jnp.int32),
         )
         self.slots: List[Optional[RequestHandle]] = [None] * b
         self.slot_steps = np.zeros(b, np.int64)
@@ -217,6 +219,7 @@ class ServingEngine:
                 jnp.asarray(r.speech_frame_valid),
                 jnp.asarray(r.speech_input_mask),
                 vk,
+                None,
             )
         single = inf.prefill_fn(
             self.cfg,
