@@ -230,9 +230,15 @@ def build_voice_preset(
 # ---------------------------------------------------------------------------
 
 
-def make_window_fns(cfg: VibeVoiceStreamingConfig, opts):
-    """Returns (text_window_fn, speech_window_fn), both jitted with donated
-    state. `opts` is inference.GenerateOptions (cfg_scale/ddpm_steps used)."""
+def make_window_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
+    """Returns (text_window_fn, speech_window_fn, single_frame_fn), all jitted
+    with donated state. `opts` is inference.GenerateOptions
+    (cfg_scale/ddpm_steps used).
+
+    With inject=True the speech-window fns take an extra `noise` argument
+    {"init": (W, B, D)[, "sde": (W, S, B, D)]} consumed one row per frame —
+    the fidelity-harness analog of the reference's per-frame torch.randn
+    (reference modeling_vibevoice_streaming_inference.py:727-751)."""
     lcfg, ucfg = _lower_cfg(cfg), _upper_cfg(cfg)
     acfg = cfg.acoustic_tokenizer_config
     hcfg = cfg.diffusion_head_config
@@ -261,16 +267,23 @@ def make_window_fns(cfg: VibeVoiceStreamingConfig, opts):
         tts_h = th[jnp.arange(th.shape[0]), last]
         return state._replace(lm_cache=lm_cache, tts_cache=tts_cache, tts_h=tts_h)
 
-    def speech_frame(params, carry, key):
+    def speech_frame(params, carry, key, frame_noise=None):
         state = carry
         b = state.tts_h.shape[0]
         dtype = params["language_model"]["embed"].dtype
         k_lat, k_sde = jax.random.split(key)
         head_fn = lambda x, t, c: dh.apply(params["diffusion_head"], hcfg, x, t, c)
-        x_init = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+        if inject:
+            x_init = frame_noise["init"].astype(jnp.float32)
+            sde_noise = frame_noise["sde"].astype(jnp.float32) if opts.sde else None
+            sde_key = None
+        else:
+            x_init = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+            sde_noise = None
+            sde_key = k_sde if opts.sde else None
         latent = dpm.cfg_sample(
             coeffs, head_fn, state.tts_h, state.neg_tts_h, opts.cfg_scale, x_init,
-            key=k_sde if opts.sde else None,
+            key=sde_key, noise=sde_noise,
         )
         scaled = latent / params["speech_scaling_factor"] - params["speech_bias_factor"]
         audio, dec_state = tok.decode(
@@ -293,18 +306,24 @@ def make_window_fns(cfg: VibeVoiceStreamingConfig, opts):
         )
         return new_state, (audio, eos_p)
 
-    def speech_window(params, state: StreamState, key):
+    def speech_window(params, state: StreamState, key, noise=None):
         """Six diffusion frames as a lax.scan (reference :613-694).
         Returns (state, audio (6, B, hop, 1), eos_probs (6, B))."""
         keys = jax.random.split(key, TTS_SPEECH_WINDOW_SIZE)
-        state, (audio, eos) = jax.lax.scan(
-            lambda c, k: speech_frame(params, c, k), state, keys
-        )
+        if inject:
+            state, (audio, eos) = jax.lax.scan(
+                lambda c, x: speech_frame(params, c, x[0], x[1]), state, (keys, noise)
+            )
+        else:
+            state, (audio, eos) = jax.lax.scan(
+                lambda c, k: speech_frame(params, c, k), state, keys
+            )
         return state, audio, eos
 
-    def single_frame(params, state: StreamState, key):
+    def single_frame(params, state: StreamState, key, noise=None):
         """One diffusion frame (for minimum time-to-first-audio)."""
-        state, (audio, eos) = speech_frame(params, state, key)
+        fn = None if not inject else jax.tree.map(lambda a: a[0], noise)
+        state, (audio, eos) = speech_frame(params, state, key, fn)
         return state, audio, eos
 
     return (
@@ -331,14 +350,25 @@ def generate(
     audio_streamer=None,
     stop_check_fn=None,
     window_fns=None,
+    noise_bank=None,
 ):
-    """Windowed streaming generation, batch 1 (reference :412-725)."""
+    """Windowed streaming generation, batch 1 (reference :412-725).
+
+    noise_bank (fidelity-harness hook): {"init": (E, 1, D)[, "sde":
+    (E, S, 1, D)]} consumed one row per speech frame in order — the frames
+    a window runs after EOS still consume rows, matching the reference's
+    draw order (reference :613-694 keeps sampling after finished_tags)."""
     from .inference import GenerateOptions, GenerationOutput
 
     opts = opts or GenerateOptions(cfg_scale=1.5, ddpm_steps=5)
+    inject = noise_bank is not None
     if window_fns is None:
-        window_fns = make_window_fns(cfg, opts)
+        window_fns = make_window_fns(cfg, opts, inject)
     text_window_fn, speech_window_fn, _ = window_fns
+    frame_counter = 0
+    if inject:
+        bank_init = jnp.asarray(noise_bank["init"])
+        bank_sde = jnp.asarray(noise_bank["sde"]) if opts.sde else None
 
     state = init_stream_state(cfg, params, preset, max_len)
     key = jax.random.PRNGKey(seed)
@@ -372,7 +402,20 @@ def generate(
             steps += int(valid.sum())
 
         key, sk = jax.random.split(key)
-        state, audio, eos = speech_window_fn(params, state, sk)
+        if inject:
+            w6 = TTS_SPEECH_WINDOW_SIZE
+            if frame_counter + w6 > bank_init.shape[0]:
+                raise ValueError(
+                    f"noise_bank['init'] has {bank_init.shape[0]} rows but frame "
+                    f"{frame_counter + w6} is needed; enlarge the bank"
+                )
+            noise = {"init": bank_init[frame_counter : frame_counter + w6]}
+            if opts.sde:
+                noise["sde"] = bank_sde[frame_counter : frame_counter + w6]
+            frame_counter += w6
+            state, audio, eos = speech_window_fn(params, state, sk, noise)
+        else:
+            state, audio, eos = speech_window_fn(params, state, sk)
         steps += TTS_SPEECH_WINDOW_SIZE
         audio_np = np.asarray(audio)  # (6, 1, hop, 1)
         eos_np = np.asarray(eos)  # (6, 1)
