@@ -2,12 +2,24 @@
 
 Measures the steady-state fused decode step (LM step + CFG diffusion scan +
 streaming vocoder + semantic re-encode) on the flagship 1.5B config with
-random bf16 weights, batch 1, 10 DDPM steps (the file-CLI default,
-reference demo/inference_from_file.py:365). One 7.5 Hz frame = 3200 samples
-of 24 kHz audio, so RTF = (3200/24000) / step_time.
+random weights, 10 DDPM steps (the file-CLI default, reference
+demo/inference_from_file.py:365). One 7.5 Hz frame = 3200 samples of 24 kHz
+audio, so RTF = (3200/24000) / step_time.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 5.0 (BASELINE.md target: >=5x realtime per chip).
+The headline config is weight-only int8 LM + lm_head (parity-tested in
+tests/test_flash_attention.py and tests/test_generate.py), batch 1 — the
+repo's best honest single-stream serving config. Env overrides:
+
+  BENCH_BF16=1           bench the bf16 path instead of int8
+  BENCH_BATCH=N          batch size (default 1)
+  BENCH_MAX_LEN=N        KV cache length (default 4096; 65536 = 64K config)
+  BENCH_PREFILL=N        ALSO run an N-token chunked prefill and fold its
+                         cost into a long-form RTF line
+  BENCH_ALL=1            print extra config lines (bs4, bf16) after the
+                         headline; the FIRST line remains the headline
+
+Prints ONE JSON line (first): {"metric", "value", "unit", "vs_baseline"}
+where vs_baseline is value / 5.0 (BASELINE.md target: >=5x realtime/chip).
 """
 
 import json
@@ -18,37 +30,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
-
-    _enable_cache()
+def _load(cfg_name="qwen2.5_1.5b_64k.json"):
     import jax
     import jax.numpy as jnp
-
     from vibevoice_tpu.configs import VibeVoiceConfig
+    from vibevoice_tpu.models import vibevoice as vv
+
+    cfg = VibeVoiceConfig.from_json_file(
+        os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", cfg_name)
+    )
+    params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    return cfg, params
+
+
+def run_decode(cfg, params, *, batch, max_len, ddpm_steps=10, frames_per_dispatch=8, steps=32):
+    """Steady-state decode RTF (audio-sec per wall-sec per chip)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from vibevoice_tpu.models import inference as inf
     from vibevoice_tpu.models import qwen2
     from vibevoice_tpu.models import tokenizer as tok
-    from vibevoice_tpu.models import vibevoice as vv
 
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "32"))
-    max_len = int(os.environ.get("BENCH_MAX_LEN", "4096"))
-    ddpm_steps = int(os.environ.get("BENCH_DDPM_STEPS", "10"))
-    frames_per_dispatch = int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", "8"))
-
-    cfg = VibeVoiceConfig.from_json_file(
-        os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json")
-    )
     dtype = jnp.bfloat16
-    params = vv.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
-    if os.environ.get("BENCH_INT8") == "1":
-        components = ["lm", "lm_head"]
-        if os.environ.get("BENCH_INT8_HEAD") == "1":
-            components.append("diffusion_head")
-        if os.environ.get("BENCH_INT8_TOK") == "1":
-            components.append("tokenizers")
-        params = vv.quantize_for_inference(params, components=tuple(components))
     tokens = inf.SpecialTokens()
     opts = inf.GenerateOptions(
         ddpm_steps=ddpm_steps, max_length=max_len, frames_per_dispatch=frames_per_dispatch
@@ -67,17 +71,14 @@ def main():
     ext = jnp.zeros((frames_per_dispatch, batch), bool)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    for i in range(2):
+    for _ in range(2):  # warmup / compile
         key, sk = jax.random.split(key)
         carry, out = step(params, carry, sk, ext)
     jax.block_until_ready(out.audio)
 
-    import numpy as np
-
     n_dispatch = max(1, steps // frames_per_dispatch)
     t0 = time.perf_counter()
-    for i in range(n_dispatch):
+    for _ in range(n_dispatch):
         key, sk = jax.random.split(key)
         carry, out = step(params, carry, sk, ext)
     # force a real device round-trip (block_until_ready alone can return
@@ -87,17 +88,107 @@ def main():
 
     frame_sec = 3200 / 24_000
     audio_sec = n_dispatch * frames_per_dispatch * frame_sec * batch
-    rtf = audio_sec / wall
-    print(
-        json.dumps(
+    return audio_sec / wall, wall / (n_dispatch * frames_per_dispatch)
+
+
+def run_prefill(cfg, params, *, prompt_len, max_len, chunk=2048):
+    """Chunked-prefill wall time for a prompt_len prompt (64K long-form)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from vibevoice_tpu.models import inference as inf
+
+    tokens = inf.SpecialTokens()
+    ids = np.full((1, prompt_len), 30, np.int64)
+    ids[:, -1] = tokens.speech_start
+    valid = jnp.ones((1, prompt_len), bool)
+    key = jax.random.PRNGKey(2)
+
+    def go():
+        carry = inf.chunked_prefill(
+            cfg, params, jnp.asarray(ids, jnp.int32), valid, max_len, tokens, key, chunk=chunk
+        )
+        np.asarray(carry.h_pos).sum()
+        return carry
+
+    go()  # compile
+    t0 = time.perf_counter()
+    go()
+    return time.perf_counter() - t0
+
+
+def main():
+    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    from vibevoice_tpu.models import vibevoice as vv
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    steps = int(os.environ.get("BENCH_STEPS", "32"))
+    max_len = int(os.environ.get("BENCH_MAX_LEN", "4096"))
+    ddpm_steps = int(os.environ.get("BENCH_DDPM_STEPS", "10"))
+    frames_per_dispatch = int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", "8"))
+    use_int8 = os.environ.get("BENCH_BF16") != "1"
+
+    cfg, params = _load()
+    if use_int8:
+        components = ["lm", "lm_head"]
+        if os.environ.get("BENCH_INT8_HEAD") == "1":
+            components.append("diffusion_head")
+        if os.environ.get("BENCH_INT8_TOK") == "1":
+            components.append("tokenizers")
+        params = vv.quantize_for_inference(params, components=tuple(components))
+    if os.environ.get("BENCH_NO_FUSE") != "1":
+        # fused Pallas vocoder stage (int8 weights iff the LM is int8)
+        params = vv.fuse_vocoder(params, cfg, quantize=use_int8)
+
+    kw = dict(max_len=max_len, ddpm_steps=ddpm_steps,
+              frames_per_dispatch=frames_per_dispatch, steps=steps)
+    rtf, step_time = run_decode(cfg, params, batch=batch, **kw)
+
+    prefill_len = int(os.environ.get("BENCH_PREFILL", "0"))
+    lines = []
+    suffix = "" if use_int8 else "_bf16"
+    if prefill_len:
+        # long-form: fold an N-token prompt prefill into the RTF of a
+        # generation that fills the remaining cache with speech frames
+        prefill_wall = run_prefill(cfg, params, prompt_len=prefill_len, max_len=max_len)
+        gen_frames = max_len - prefill_len
+        audio_sec = gen_frames * 3200 / 24_000
+        wall = prefill_wall + gen_frames * step_time
+        rtf_lf = audio_sec / wall
+        lines.append(
             {
-                "metric": "RTF_1.5B_decode_bs%d" % batch,
-                "value": round(rtf, 4),
+                "metric": f"RTF_1.5B_longform_{prefill_len}tok_prompt_{max_len}cache{suffix}",
+                "value": round(rtf_lf, 4),
                 "unit": "audio-sec/wall-sec/chip",
-                "vs_baseline": round(rtf / 5.0, 4),
+                "vs_baseline": round(rtf_lf / 5.0, 4),
+                "prefill_sec": round(prefill_wall, 3),
             }
         )
+    lines.insert(
+        0,
+        {
+            "metric": f"RTF_1.5B_decode_bs{batch}{suffix}",
+            "value": round(rtf, 4),
+            "unit": "audio-sec/wall-sec/chip",
+            "vs_baseline": round(rtf / 5.0, 4),
+        },
     )
+
+    if os.environ.get("BENCH_ALL") == "1":
+        rtf4, _ = run_decode(cfg, params, batch=4, **kw)
+        lines.append(
+            {
+                "metric": f"RTF_1.5B_decode_bs4{suffix}",
+                "value": round(rtf4, 4),
+                "unit": "audio-sec/wall-sec/chip",
+                "vs_baseline": round(rtf4 / 5.0, 4),
+            }
+        )
+
+    for line in lines:
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,49 @@ def test_streaming_consumption(engine):
     assert sum(len(c) for c in chunks) == len(total)
 
 
+def test_prefill_does_not_stall_active_streams(engine, monkeypatch):
+    """Head-of-line blocking regression: while a second request's prefill is
+    (artificially) slow, an already-active stream must keep stepping
+    (prefill runs on its own thread; the decode loop never waits on it)."""
+    import threading
+    import time
+
+    real_prefill = inf.prefill_fn
+    slow_started = threading.Event()
+
+    def slow_prefill(*a, **kw):
+        slow_started.set()
+        time.sleep(1.2)  # emulate a first-shape compile stall
+        return real_prefill(*a, **kw)
+
+    # long prompt -> long generation for the active stream (random tiny
+    # weights emit speech_start until the per-request max-step cap)
+    h1 = engine.submit(_make_request(20, n=40))
+    deadline = time.time() + 60
+    while not any(s is h1 for s in engine.slots):
+        assert time.time() < deadline, "stream 1 never started"
+        time.sleep(0.01)
+    slot = engine.slots.index(h1)
+    while engine.slot_steps[slot] < 2:
+        time.sleep(0.01)
+
+    monkeypatch.setattr(inf, "prefill_fn", slow_prefill)
+    h2 = engine.submit(_make_request(21, n=8))
+    assert slow_started.wait(timeout=30)
+
+    # while h2's prefill sleeps, h1's decode must keep advancing
+    start_steps = int(engine.slot_steps[slot])
+    time.sleep(0.8)
+    gained = int(engine.slot_steps[slot]) - start_steps
+    monkeypatch.setattr(inf, "prefill_fn", real_prefill)
+    assert engine.slots[slot] is h1 or gained > 0  # h1 may legitimately finish
+    assert gained >= 2 or engine.slots[slot] is not h1, (
+        f"active stream starved during prefill (advanced {gained} steps)"
+    )
+    h1.result(timeout=120)
+    h2.result(timeout=120)
+
+
 def test_bad_request_surfaces_error(engine):
     # speech masks inconsistent with tokenizer hop -> error delivered, engine
     # stays alive

@@ -184,7 +184,6 @@ def main():
 
     key = jax.random.PRNGKey(args.seed + 2)
     bs = args.per_device_batch_size
-    order = np.arange(len(dataset))
     t0 = time.time()
 
     def save(step):
@@ -202,7 +201,16 @@ def main():
             save_native(out, cfg, swap_in_ema(state.params, ema))
         print(f"saved {out}")
 
+    steps_per_epoch = max(1, len(dataset) // bs)
+    order_epoch = -1
+
     for step in range(start_step, args.max_steps):
+        epoch = step // steps_per_epoch
+        if epoch != order_epoch:
+            # fresh epoch-seeded permutation (HF Trainer reshuffles per epoch);
+            # seeding by epoch keeps resume-from-checkpoint deterministic
+            order = np.random.RandomState(args.seed + epoch).permutation(len(dataset))
+            order_epoch = epoch
         idx = order[(step * bs) % len(order) : (step * bs) % len(order) + bs]
         if len(idx) < bs:
             idx = order[:bs]

@@ -206,6 +206,58 @@ def init_decoder_state(cfg: AcousticTokenizerConfig, batch: int, dtype=jnp.float
     return st
 
 
+def _fuse_interpret() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
+
+
+def fuse_hot_stages(tok_params: Params, cfg, quantize: bool = True, keep_dense: bool = False) -> Params:
+    """Inference-prep transform: pack the T=1 streaming block stacks into the
+    fused Pallas kernel format (ops/vocoder_fused.py).
+
+    For a {'decoder': ...} entry, stage 0 runs at the latent frame rate (T=1
+    per frame); for an {'encoder': ...} entry (the semantic re-encode path),
+    the FINAL stage does. Those two stacks are ~1.1 GB of weight reads per
+    frame on the shipped configs — the vocoder-path bottleneck.
+
+    keep_dense=True retains the dense block params alongside (needed if the
+    same tree must also serve batch-mode encode/decode)."""
+    from ..ops.vocoder_fused import pack_stage
+
+    out = dict(tok_params)
+    if "decoder" in tok_params:
+        dec = dict(tok_params["decoder"])
+        stages = list(dec["stages"])
+        dec["stage0_packed"] = pack_stage(stages[0], cfg.layernorm_eps, quantize)
+        if not keep_dense:
+            stages[0] = []
+        dec["stages"] = stages
+        out["decoder"] = dec
+    if "encoder" in tok_params:
+        enc = dict(tok_params["encoder"])
+        stages = list(enc["stages"])
+        enc["stageN_packed"] = pack_stage(stages[-1], cfg.layernorm_eps, quantize)
+        if not keep_dense:
+            stages[-1] = []
+        enc["stages"] = stages
+        out["encoder"] = enc
+    return out
+
+
+def _fused_stage_apply(packed, x, state: State, new_state: State, stage_idx: int, depth: int):
+    """Dispatch one packed block stack on a single frame; updates new_state
+    in place with the per-block conv contexts."""
+    from ..ops.vocoder_fused import fused_stage_step
+
+    states = jnp.stack([state[f"s{stage_idx}_{j}"] for j in range(depth)])
+    x, new = fused_stage_step(packed, x, states, interpret=_fuse_interpret())
+    for j in range(depth):
+        new_state[f"s{stage_idx}_{j}"] = new[j]
+    return x
+
+
 def reset_state(state: State, sample_mask: jnp.ndarray) -> State:
     """Zero the context buffers of samples where ``sample_mask`` is True —
     functional equivalent of the reference cache's ``set_to_zero`` on
@@ -288,11 +340,15 @@ def encoder_apply(
             x, new_state[f"down{i}"] = causal_conv1d_streaming(
                 x, state[f"down{i}"], dp["w"], dp.get("b"), stride=s
             )
-        for j in range(depths[i]):
-            bstate = None if state is None else state[f"s{i}_{j}"]
-            x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)
-            if state is not None:
-                new_state[f"s{i}_{j}"] = bs
+        packed = params.get("stageN_packed") if i == n - 1 else None
+        if packed is not None and state is not None and x.shape[1] == 1:
+            x = _fused_stage_apply(packed, x, state, new_state, i, depths[i])
+        else:
+            for j in range(depths[i]):
+                bstate = None if state is None else state[f"s{i}_{j}"]
+                x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)
+                if state is not None:
+                    new_state[f"s{i}_{j}"] = bs
     if "final_norm" in params:
         x = _norm_apply(params["final_norm"], x, cfg)
     hp = params["head"]
@@ -329,11 +385,15 @@ def decoder_apply(
                 x, new_state[f"up{i}"] = conv_transpose1d_streaming(
                     x, state[f"up{i}"], up["w"], up.get("b"), stride=s
                 )
-        for j in range(depths[i]):
-            bstate = None if state is None else state[f"s{i}_{j}"]
-            x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)
-            if state is not None:
-                new_state[f"s{i}_{j}"] = bs
+        packed = params.get("stage0_packed") if i == 0 else None
+        if packed is not None and state is not None and x.shape[1] == 1:
+            x = _fused_stage_apply(packed, x, state, new_state, i, depths[i])
+        else:
+            for j in range(depths[i]):
+                bstate = None if state is None else state[f"s{i}_{j}"]
+                x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)
+                if state is not None:
+                    new_state[f"s{i}_{j}"] = bs
     if "final_norm" in params:
         x = _norm_apply(params["final_norm"], x, cfg)
     hp = params["head"]

@@ -113,6 +113,26 @@ def quantize_for_inference(
     return out
 
 
+def fuse_vocoder(params: Params, cfg: VibeVoiceConfig, quantize: bool = True) -> Params:
+    """Serving-prep transform: pack the per-frame block stacks (acoustic
+    decoder stage 0 + semantic encoder final stage) into the fused Pallas
+    kernel format (ops/vocoder_fused.py) — together ~1.1 GB of weight reads
+    per frame on the 1.5B config. quantize=True stores their FFN weights
+    int8, halving the bytes. The acoustic ENCODER stays dense (it runs in
+    batch mode during voice-clone prefill)."""
+    out = dict(params)
+    ac = dict(params["acoustic_tokenizer"])
+    ac.update(tok.fuse_hot_stages({"decoder": ac["decoder"]}, cfg.acoustic_tokenizer_config, quantize))
+    out["acoustic_tokenizer"] = ac
+    if "semantic_tokenizer" in params:
+        se = dict(params["semantic_tokenizer"])
+        se.update(
+            tok.fuse_hot_stages({"encoder": se["encoder"]}, cfg.semantic_tokenizer_config, quantize)
+        )
+        out["semantic_tokenizer"] = se
+    return out
+
+
 def splice_speech_features(
     embeds: jnp.ndarray,
     speech_input_mask: jnp.ndarray,

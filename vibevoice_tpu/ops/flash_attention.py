@@ -71,8 +71,8 @@ def flash_cached_attention(
             pl.BlockSpec(
                 (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM

@@ -6,16 +6,20 @@ bound, so batching concurrent requests into one fused decode step is nearly
 free throughput (bench: bs1 12x -> bs4 32x realtime). This engine keeps a
 fixed-capacity DecodeCarry hot on device and:
 
-* prefills each arriving request into a batch-1 carry (off the hot loop),
-* splices its rows into a free slot between decode dispatches
-  (per-layer dynamic_update_slice on the batch axis — the per-sample-length
-  cache design makes slot state fully independent),
+* prefills each arriving request into a batch-1 carry on a DEDICATED worker
+  thread, so prefill tracing/compilation (minutes for a first-seen prompt
+  bucket on this TPU) and host work never stall active audio streams,
+* the decode thread splices completed prefills into free slots between
+  decode dispatches (per-layer dynamic_update_slice on the batch axis — the
+  per-sample-length cache design makes slot state fully independent),
 * steps all active slots together, routing each slot's audio frames to its
   request's queue,
 * frees slots on EOS / per-request max length.
 
-Single background thread owns the device; submissions and consumers are
-thread-safe.
+The decode thread owns the carry; the prefill thread only touches its own
+batch-1 outputs (device execution itself is serialized by the TPU stream,
+which bounds the decode-step delay to one prefill-chunk dispatch).
+Submissions and consumers are thread-safe.
 """
 
 from __future__ import annotations
@@ -153,10 +157,15 @@ class ServingEngine:
         self.slot_steps = np.zeros(b, np.int64)
         self.slot_max_steps = np.zeros(b, np.int64)
         self.pending: "queue.Queue[RequestHandle]" = queue.Queue()
+        # prefilled-but-not-yet-spliced requests; bounded so the prefill
+        # worker can't pile up full-size batch-1 KV caches in HBM
+        self.ready: "queue.Queue" = queue.Queue(maxsize=2)
         self.key = jax.random.PRNGKey(0)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._prefill_thread = threading.Thread(target=self._prefill_loop, daemon=True)
         self._thread.start()
+        self._prefill_thread.start()
 
     # ------------------------------------------------------------------
     # public API
@@ -170,30 +179,54 @@ class ServingEngine:
     def shutdown(self, timeout: float = 30.0):
         self._stop.set()
         self._thread.join(timeout)
+        self._prefill_thread.join(timeout)
 
     # ------------------------------------------------------------------
-    # worker
+    # prefill worker (never blocks the decode loop)
     # ------------------------------------------------------------------
 
-    def _admit(self):
-        while any(h is None for h in self.slots):
+    def _prefill_loop(self):
+        key = jax.random.PRNGKey(0x9EF11)
+        while not self._stop.is_set():
             try:
-                handle = self.pending.get_nowait()
+                handle = self.pending.get(timeout=0.02)
             except queue.Empty:
-                return
-            slot = self.slots.index(None)
+                continue
             try:
-                self._prefill_into(handle, slot)
+                key, pk, vk = jax.random.split(key, 3)
+                single, max_steps = self._prefill(handle.request, pk, vk)
             except BaseException as e:  # surface bad requests to the caller
                 handle._finish(e)
                 continue
+            while not self._stop.is_set():
+                try:
+                    self.ready.put((handle, single, max_steps), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    # ------------------------------------------------------------------
+    # decode worker
+    # ------------------------------------------------------------------
+
+    def _admit(self):
+        """Splice completed prefills into free slots (cheap jitted updates,
+        called between decode dispatches)."""
+        while any(h is None for h in self.slots):
+            try:
+                handle, single, max_steps = self.ready.get_nowait()
+            except queue.Empty:
+                return
+            slot = self.slots.index(None)
+            self.carry = _join_slot(self.carry, single, slot, self.max_batch)
+            self.slot_steps[slot] = 0
+            self.slot_max_steps[slot] = max_steps
             self.slots[slot] = handle
 
     PROMPT_BUCKET = 64  # right-pad prompts to a bucket so prefill_fn compiles
     # once per bucket instead of once per length
 
-    def _prefill_into(self, handle: RequestHandle, slot: int):
-        r = handle.request
+    def _prefill(self, r: Request, pk, vk):
         t = r.input_ids.shape[1]
         pad = -(-t // self.PROMPT_BUCKET) * self.PROMPT_BUCKET - t
         if pad:
@@ -211,7 +244,6 @@ class ServingEngine:
                 max_length_times=r.max_length_times,
             )
         use_speech = r.speech_tensors is not None
-        self.key, pk, vk = jax.random.split(self.key, 3)
         speech_args = None
         if use_speech:
             speech_args = (
@@ -232,12 +264,12 @@ class ServingEngine:
             self.tokens,
             pk,
         )
-        self.carry = _join_slot(self.carry, single, slot, self.max_batch)
+        # block here (on the prefill thread) until the device work is done, so
+        # the decode loop's splice never inherits a pending prefill dispatch
+        jax.block_until_ready(single.h_pos)
         n = int(r.valid_mask.sum())
-        self.slot_steps[slot] = 0
-        self.slot_max_steps[slot] = min(
-            self.max_len - n, int(r.max_length_times * n)
-        )
+        max_steps = min(self.max_len - n, int(r.max_length_times * n))
+        return single, max_steps
 
     def _loop(self):
         while not self._stop.is_set():
@@ -267,6 +299,11 @@ class ServingEngine:
         for h in self.slots:
             if h is not None:
                 h._finish()
+        while True:
+            try:
+                self.ready.get_nowait()[0]._finish(RuntimeError("engine shut down"))
+            except queue.Empty:
+                break
         while True:
             try:
                 self.pending.get_nowait()._finish(RuntimeError("engine shut down"))
