@@ -43,8 +43,14 @@ def _load(cfg_name="qwen2.5_1.5b_64k.json"):
     return cfg, params
 
 
-def run_decode(cfg, params, *, batch, max_len, ddpm_steps=10, frames_per_dispatch=8, steps=32):
-    """Steady-state decode RTF (audio-sec per wall-sec per chip)."""
+def run_decode(
+    cfg, params, *, batch, max_len, ddpm_steps=10, frames_per_dispatch=8, steps=32, fill=0
+):
+    """Steady-state decode RTF (audio-sec per wall-sec per chip).
+
+    `fill` pre-sets the positive-stream cache length so the flash kernel's
+    valid-prefix reads are costed at a realistic long-form fill level (decode
+    cost grows with generated length; measuring at length~0 flatters RTF)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -59,8 +65,16 @@ def run_decode(cfg, params, *, batch, max_len, ddpm_steps=10, frames_per_dispatc
     )
     step = inf.make_multi_step_fn(cfg, tokens, opts, frames_per_dispatch)
 
+    cache = qwen2.make_cache(cfg.decoder_config, 2 * batch, max_len, dtype)
+    if fill:
+        # positive rows at `fill`; negative rows stay short (they reset at
+        # segment starts, so their live prefix is frames-since-speech_start)
+        length = jnp.concatenate(
+            [jnp.full((batch,), fill, jnp.int32), jnp.full((batch,), 64, jnp.int32)]
+        )
+        cache = cache._replace(length=length)
     carry = inf.DecodeCarry(
-        cache=qwen2.make_cache(cfg.decoder_config, 2 * batch, max_len, dtype),
+        cache=cache,
         dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, batch, dtype),
         sem_state=tok.init_encoder_state(cfg.semantic_tokenizer_config, batch, dtype),
         h_pos=jnp.zeros((batch, cfg.decoder_config.hidden_size), dtype),
@@ -144,18 +158,24 @@ def main():
 
     kw = dict(max_len=max_len, ddpm_steps=ddpm_steps,
               frames_per_dispatch=frames_per_dispatch, steps=steps)
-    rtf, step_time = run_decode(cfg, params, batch=batch, **kw)
+    fill = int(os.environ.get("BENCH_FILL", "0"))
+    rtf, step_time = run_decode(cfg, params, batch=batch, fill=fill, **kw)
 
     prefill_len = int(os.environ.get("BENCH_PREFILL", "0"))
     lines = []
     suffix = "" if use_int8 else "_bf16"
+    if fill:
+        suffix += f"_fill{fill}"
     if prefill_len:
         # long-form: fold an N-token prompt prefill into the RTF of a
-        # generation that fills the remaining cache with speech frames
+        # generation that fills the remaining cache with speech frames;
+        # decode is costed at the run's midpoint fill level
         prefill_wall = run_prefill(cfg, params, prompt_len=prefill_len, max_len=max_len)
+        mid_fill = (prefill_len + max_len) // 2
+        _, mid_step = run_decode(cfg, params, batch=batch, fill=mid_fill, **kw)
         gen_frames = max_len - prefill_len
         audio_sec = gen_frames * 3200 / 24_000
-        wall = prefill_wall + gen_frames * step_time
+        wall = prefill_wall + gen_frames * mid_step
         rtf_lf = audio_sec / wall
         lines.append(
             {
@@ -164,6 +184,7 @@ def main():
                 "unit": "audio-sec/wall-sec/chip",
                 "vs_baseline": round(rtf_lf / 5.0, 4),
                 "prefill_sec": round(prefill_wall, 3),
+                "midfill_step_ms": round(mid_step * 1e3, 3),
             }
         )
     lines.insert(

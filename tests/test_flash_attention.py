@@ -59,6 +59,47 @@ def test_flash_matches_reference(b, w, nh, kh, s, lens, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+def test_padded_head_dim_flash_matches_xla():
+    """head_dim 64 (the 0.5B streaming LM) rides the flash kernel via
+    lane-padded caches (qwen2.make_cache): a forced-flash forward on CPU
+    (interpret) must match the XLA masked path, including a second decode
+    step from the updated cache."""
+    from vibevoice_tpu.configs import Qwen2Config
+    from vibevoice_tpu.models import qwen2
+
+    cfg = Qwen2Config(
+        vocab_size=64, hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, max_position_embeddings=1024,
+        rope_theta=10_000.0,
+    )
+    assert cfg.head_dim == 64
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    e1 = jnp.asarray(rng.randn(1, 5, 128), jnp.float32)
+    e2 = jnp.asarray(rng.randn(1, 1, 128), jnp.float32)
+
+    def run():
+        cache = qwen2.make_cache(cfg, 1, 512, jnp.float32)
+        h1, cache = qwen2.forward(cfg, params, e1, cache=cache)
+        h2, cache = qwen2.forward(cfg, params, e2, cache=cache)
+        return np.asarray(h1), np.asarray(h2), cache
+
+    try:
+        qwen2.set_attention_impl("xla")
+        xla_h1, xla_h2, xla_cache = run()
+        assert xla_cache.k[0].shape[-1] == 64
+        qwen2.set_attention_impl("flash")
+        fl_h1, fl_h2, fl_cache = run()
+        assert fl_cache.k[0].shape[-1] == 128  # lane-padded
+        np.testing.assert_allclose(
+            np.asarray(fl_cache.k[0][..., 64:]), 0.0
+        )  # pad lanes stay zero
+    finally:
+        qwen2.set_attention_impl("auto")
+    np.testing.assert_allclose(fl_h1, xla_h1, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(fl_h2, xla_h2, rtol=2e-4, atol=2e-4)
+
+
 def test_rejects_unaligned_cache():
     q = jnp.zeros((1, 1, 4, 128))
     k = jnp.zeros((1, 2, 100, 128))

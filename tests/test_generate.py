@@ -195,6 +195,59 @@ def test_generate_with_pt_latents(params, step_fn):
     assert set(np.unique(out.sequences[:, 9:])).issubset(set(TOKENS.candidates))
 
 
+def test_longform_chunked_prefill_with_boundaries(params):
+    """Reduced-scale BASELINE config 3 shape: a prompt longer than
+    prefill_chunk (forcing the chunked 64K-prefill path) with voice features,
+    then a forced token script crossing several speech_end -> speech_start
+    segment boundaries. The negative-stream length bookkeeping and conv-state
+    resets must survive the chunked-prefill carry."""
+    rng = np.random.RandomState(7)
+    t0 = 40
+    ids = rng.randint(10, 100, (1, t0)).astype(np.int64)
+    ids[0, 3:7] = TOKENS.speech_diffusion
+    ids[0, -1] = TOKENS.speech_start
+    mask = np.zeros((1, t0), bool)
+    mask[0, 3:7] = True
+    wav = rng.randn(1, 4 * HOP).astype(np.float32)
+
+    script = np.array([7, 7, 6, 5, 7, 7, 7, 6, 5, 7, 2], np.int32)[:, None]
+    bank = {"init": rng.randn(16, 1, CFG.acoustic_vae_dim).astype(np.float32)}
+    opts = inf.GenerateOptions(ddpm_steps=2, max_length=128, prefill_chunk=16)
+    out = inf.generate(
+        CFG,
+        params,
+        input_ids=ids,
+        speech_tensors=wav,
+        speech_frame_valid=np.ones((1, 4), bool),
+        speech_input_mask=mask,
+        tokens=TOKENS,
+        opts=opts,
+        forced_tokens=script,
+        noise_bank=bank,
+    )
+    gen = out.sequences[0, t0:]
+    np.testing.assert_array_equal(gen[: len(script)], script[:, 0])
+    assert len(out.speech_outputs[0]) == 6 * HOP  # 6 diffusion frames
+
+    # identical run through the one-shot prefill path must match exactly
+    out2 = inf.generate(
+        CFG,
+        params,
+        input_ids=ids,
+        speech_tensors=wav,
+        speech_frame_valid=np.ones((1, 4), bool),
+        speech_input_mask=mask,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128, prefill_chunk=2048),
+        forced_tokens=script,
+        noise_bank=bank,
+    )
+    np.testing.assert_array_equal(out.sequences, out2.sequences)
+    np.testing.assert_allclose(
+        out.speech_outputs[0], out2.speech_outputs[0], rtol=2e-4, atol=2e-4
+    )
+
+
 def test_generate_with_int8_params(params, step_fn):
     """quantize_for_inference plumbing through generate (tiny dims use the
     dense fallback; the pallas path is validated in test_flash_attention)."""

@@ -73,7 +73,16 @@ class KVCache(NamedTuple):
 
 
 def make_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    """Mosaic DMA slices need 128-lane alignment on the trailing dim, so
+    models with head_dim < 128 (the 0.5B streaming LM's 64-dim heads) get
+    their cache lanes zero-padded to 128 when the flash kernel is available;
+    q/k/v chunks are padded on write and outputs sliced back (zero lanes
+    contribute nothing to scores). Costs 2x cache bytes but keeps decode on
+    the valid-prefix flash path instead of full-cache masked XLA attention."""
+    d = cfg.head_dim
+    if d % 128 != 0 and _flash_enabled():
+        d = -(-d // 128) * 128
+    shape = (batch, cfg.num_key_value_heads, max_len, d)
     return KVCache(
         k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
         v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
@@ -179,14 +188,17 @@ def _attention_masked(q, k, v, mask):
     return out.reshape(b, t, nh, d)
 
 
-def _attention_cached(q, k, v, mask):
-    """q (B,T,NH,D), k/v (B,KH,S,D) cache layout, mask (B,T,S) bool."""
+def _attention_cached(q, k, v, mask, scale=None):
+    """q (B,T,NH,D), k/v (B,KH,S,D) cache layout, mask (B,T,S) bool.
+
+    `scale` defaults to D**-0.5; pass the true head_dim's scale when q/k/v
+    are lane-padded (see make_cache)."""
     b, t, nh, d = q.shape
     kh, s = k.shape[1], k.shape[2]
     g = nh // kh
     qg = q.reshape(b, t, kh, g, d)
     scores = jnp.einsum("btkgd,bksd->bkgts", qg, k, preferred_element_type=jnp.float32)
-    scores = scores * (d**-0.5)
+    scores = scores * (scale if scale is not None else d**-0.5)
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
     scores = jnp.where(mask[:, None, None, :, :], scores, neg)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -224,14 +236,28 @@ def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None, flash=Fal
 
     if cache_kv is not None:
         ck, cv = cache_kv
+        d_c = ck.shape[-1]
+        if d_c != d:  # lane-padded cache (head_dim < 128; see make_cache)
+            padw = ((0, 0), (0, 0), (0, 0), (0, d_c - d))
+            q = jnp.pad(q, padw)
+            k = jnp.pad(k, padw)
+            v = jnp.pad(v, padw)
         ck = _write_cache(ck, k.astype(ck.dtype), offsets)
         cv = _write_cache(cv, v.astype(cv.dtype), offsets)
         if flash:
             from ..ops.flash_attention import flash_cached_attention
 
-            attn = flash_cached_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), offsets)
+            attn = flash_cached_attention(
+                q, ck.astype(q.dtype), cv.astype(q.dtype), offsets,
+                scale=d**-0.5,
+                interpret=jax.default_backend() == "cpu",
+            )
         else:
-            attn = _attention_cached(q, ck.astype(q.dtype), cv.astype(q.dtype), mask)
+            attn = _attention_cached(
+                q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale=d**-0.5
+            )
+        if d_c != d:
+            attn = attn[..., :d]
         new_cache = (ck, cv)
     else:
         attn = _attention_masked(q, k, v, mask)
@@ -287,11 +313,10 @@ def forward(
         positions = q_abs
         s = cache.max_len
         offsets = base
-        # Mosaic DMA slices need 128-lane alignment on the head dim; both
-        # flagship models use head_dim 128 (the 0.5B streaming LM's 64-dim
-        # heads stay on the XLA path). The kernel tiles query rows over the
-        # grid, so both decode windows and large prefill chunks qualify.
-        flash = _flash_enabled() and cfg.head_dim % 128 == 0 and s % 512 == 0
+        # Flash needs 128-lane heads and a 512-aligned cache. Models with
+        # head_dim < 128 qualify via lane-padded caches (make_cache); keying
+        # on the CACHE's actual lane dim keeps mixed backends consistent.
+        flash = _flash_enabled() and cache.k[0].shape[-1] % 128 == 0 and s % 512 == 0
         if flash:
             # the kernel applies the (right-padding) causal rule itself; no
             # materialised mask needed — key at 64K context

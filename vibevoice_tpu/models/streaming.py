@@ -154,8 +154,9 @@ def _cache_from_kv(cfg, kv, max_len: int, dtype) -> qwen2.KVCache:
     k, v, length = kv  # stacked (L, B, KH, S, D) storage format
     L, b, kh, s, d = k.shape
     cache = qwen2.make_cache(cfg, b, max_len, dtype)
-    ck = tuple(cache.k[i].at[:, :, :s].set(jnp.asarray(k[i], dtype)) for i in range(L))
-    cv = tuple(cache.v[i].at[:, :, :s].set(jnp.asarray(v[i], dtype)) for i in range(L))
+    # cache lanes may be zero-padded past the model head_dim (qwen2.make_cache)
+    ck = tuple(cache.k[i].at[:, :, :s, :d].set(jnp.asarray(k[i], dtype)) for i in range(L))
+    cv = tuple(cache.v[i].at[:, :, :s, :d].set(jnp.asarray(v[i], dtype)) for i in range(L))
     return qwen2.KVCache(k=ck, v=cv, length=jnp.asarray(length, jnp.int32).reshape(b))
 
 

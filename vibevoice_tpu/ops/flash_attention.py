@@ -40,17 +40,21 @@ def flash_cached_attention(
     *,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    scale: float | None = None,
 ) -> jnp.ndarray:
     """Returns (B, W, NH, D). Valid keys for query i: j <= base_lens[b] + i.
 
     Large chunks (prefill) tile the folded W*G query rows over a third grid
     dimension; each q tile only streams key blocks up to its own causal
-    horizon, so a full prefill does the triangular amount of work."""
+    horizon, so a full prefill does the triangular amount of work.
+
+    `scale` overrides the D**-0.5 softmax scale (needed when inputs are
+    lane-padded from a smaller true head_dim; see qwen2.make_cache)."""
     b, w, nh, d = q.shape
     kh, s = k_cache.shape[1], k_cache.shape[2]
     g = nh // kh
     r = w * g
-    scale = d**-0.5
+    scale = d**-0.5 if scale is None else scale
 
     if s % block_k != 0:
         raise ValueError(f"cache length {s} must be a multiple of block_k={block_k}")
