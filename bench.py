@@ -30,16 +30,68 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load(cfg_name="qwen2.5_1.5b_64k.json"):
+def _load(cfg_name="qwen2.5_1.5b_64k.json", lm_int8_inline=False):
+    """lm_int8_inline: initialise the LM layer-by-layer straight into int8
+    (7B bf16 is ~14 GB — it cannot coexist with its int8 copy on a 16 GB
+    v5e, so the quantized model must never materialise the bf16 LM)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from vibevoice_tpu.configs import VibeVoiceConfig
+    from vibevoice_tpu.models import qwen2
     from vibevoice_tpu.models import vibevoice as vv
+    from vibevoice_tpu.ops.quant import quantize_weight
 
     cfg = VibeVoiceConfig.from_json_file(
         os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", cfg_name)
     )
-    params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if not lm_int8_inline:
+        return cfg, vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    dc = cfg.decoder_config
+    small = dataclasses.replace(dc, num_hidden_layers=0)
+    small_cfg = dataclasses.replace(cfg, decoder_config=small)
+    params = vv.init(jax.random.PRNGKey(0), small_cfg, dtype=jnp.bfloat16)
+
+    h, i = dc.hidden_size, dc.intermediate_size
+    kh = dc.num_key_value_heads * dc.head_dim
+    key = jax.random.PRNGKey(7)
+
+    def qlin(k, cin, cout, bias=False):
+        w = jax.random.normal(k, (cin, cout), jnp.bfloat16) * dc.initializer_range
+        p = quantize_weight(w)
+        p["w8"].block_until_ready()  # free the bf16 draw before the next one
+        if bias:
+            p["b"] = jnp.zeros((cout,), jnp.bfloat16)
+        return p
+
+    layers = []
+    for _ in range(dc.num_hidden_layers):
+        key, *ks = jax.random.split(key, 8)
+        layers.append(
+            {
+                "input_norm": {"w": jnp.ones((h,), jnp.bfloat16)},
+                "attn": {
+                    "q": qlin(ks[0], h, h, bias=True),
+                    "k": qlin(ks[1], h, kh, bias=True),
+                    "v": qlin(ks[2], h, kh, bias=True),
+                    "o": qlin(ks[3], h, h),
+                },
+                "post_norm": {"w": jnp.ones((h,), jnp.bfloat16)},
+                "mlp": {
+                    "gate": qlin(ks[4], h, i),
+                    "up": qlin(ks[5], h, i),
+                    "down": qlin(ks[6], i, h),
+                },
+            }
+        )
+    params["lm"]["layers"] = layers
+    # untied 7B lm_head: its own quantized (H, V) projection
+    params["lm_head_q"] = quantize_weight(
+        jax.random.normal(key, (h, dc.vocab_size), jnp.bfloat16) * dc.initializer_range
+    )
+    params.pop("lm_head", None)
     return cfg, params
 
 
@@ -143,9 +195,13 @@ def main():
     ddpm_steps = int(os.environ.get("BENCH_DDPM_STEPS", "10"))
     frames_per_dispatch = int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", "8"))
     use_int8 = os.environ.get("BENCH_BF16") != "1"
+    model = os.environ.get("BENCH_CONFIG", "1.5b")  # "1.5b" | "7b"
+    cfg_file = {"1.5b": "qwen2.5_1.5b_64k.json", "7b": "qwen2.5_7b_32k.json"}[model]
 
-    cfg, params = _load()
-    if use_int8:
+    # 7B int8 must never materialise the bf16 LM (see _load)
+    inline = use_int8 and model == "7b"
+    cfg, params = _load(cfg_file, lm_int8_inline=inline)
+    if use_int8 and not inline:
         components = ["lm", "lm_head"]
         if os.environ.get("BENCH_INT8_HEAD") == "1":
             components.append("diffusion_head")
@@ -179,7 +235,7 @@ def main():
         rtf_lf = audio_sec / wall
         lines.append(
             {
-                "metric": f"RTF_1.5B_longform_{prefill_len}tok_prompt_{max_len}cache{suffix}",
+                "metric": f"RTF_{model.upper()}_longform_{prefill_len}tok_prompt_{max_len}cache{suffix}",
                 "value": round(rtf_lf, 4),
                 "unit": "audio-sec/wall-sec/chip",
                 "vs_baseline": round(rtf_lf / 5.0, 4),
@@ -190,7 +246,7 @@ def main():
     lines.insert(
         0,
         {
-            "metric": f"RTF_1.5B_decode_bs{batch}{suffix}",
+            "metric": f"RTF_{model.upper()}_decode_bs{batch}{suffix}",
             "value": round(rtf, 4),
             "unit": "audio-sec/wall-sec/chip",
             "vs_baseline": round(rtf / 5.0, 4),
@@ -201,7 +257,7 @@ def main():
         rtf4, _ = run_decode(cfg, params, batch=4, **kw)
         lines.append(
             {
-                "metric": f"RTF_1.5B_decode_bs4{suffix}",
+                "metric": f"RTF_{model.upper()}_decode_bs4{suffix}",
                 "value": round(rtf4, 4),
                 "unit": "audio-sec/wall-sec/chip",
                 "vs_baseline": round(rtf4 / 5.0, 4),

@@ -27,7 +27,18 @@ class VibeVoiceDemo:
     """Generation backend shared by UI callbacks (reference gradio_demo.py:
     model load :100-150, threaded generation :352-453, stop :610-618)."""
 
-    def __init__(self, model_path=None, ddpm_steps: int = 5, sde: bool = True):
+    def __init__(
+        self,
+        model_path=None,
+        ddpm_steps: int = 5,
+        sde: bool = True,
+        min_buffer_sec: float = 30.0,
+        min_interval_sec: float = 15.0,
+    ):
+        # streaming-consumer buffering (reference gradio_demo.py:386-387:
+        # min_chunk_size = 30 s of audio, min_yield_interval = 15 s)
+        self.min_buffer_sec = min_buffer_sec
+        self.min_interval_sec = min_interval_sec
         import jax
 
         from vibevoice_tpu.models import inference as inf
@@ -108,37 +119,59 @@ class VibeVoiceDemo:
         thread = threading.Thread(target=run, daemon=True)
         thread.start()
 
+        # buffered streaming consumer (reference gradio_demo.py:380-453):
+        # first yield waits for min_buffer_sec of pending audio; afterwards
+        # yield when >=min_buffer_sec is pending OR min_interval_sec elapsed
         pending = []
         pending_sec = 0.0
+        yielded = False
         last_yield = time.time()
         for _, chunk in streamer:
+            if self.stop_flags.get(session_id, False):
+                streamer.end()
+                break
             pending.append(chunk)
             pending_sec += len(chunk) / SAMPLE_RATE
-            # buffer ~2s before yielding (reference buffers 15-30s for long
-            # generations; shorter here for responsiveness, :380-453)
-            if pending_sec >= 2.0 or (time.time() - last_yield) > 5.0:
+            elapsed = time.time() - last_yield
+            should = (not yielded and pending_sec >= self.min_buffer_sec) or (
+                yielded
+                and (pending_sec >= self.min_buffer_sec or elapsed >= self.min_interval_sec)
+            )
+            if should:
                 audio = np.concatenate(pending)
                 yield SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)
-                pending, pending_sec, last_yield = [], 0.0, time.time()
+                pending, pending_sec, last_yield, yielded = [], 0.0, time.time(), True
         if pending:
             audio = np.concatenate(pending)
             yield SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)
-        thread.join(timeout=30)
+        # generation-thread timeout + force-end (reference :613-620)
+        thread.join(timeout=10.0)
+        if thread.is_alive():
+            self.stop_flags[session_id] = True
+            streamer.end()
+            thread.join(timeout=10.0)
 
     def stop(self, session_id: str):
         self.stop_flags[session_id] = True
 
 
 def load_example_scripts(examples_dir: str):
+    """Example-script library; files whose names carry an 'NNmin' duration
+    above 15 minutes are skipped (reference gradio_demo.py:620-648)."""
+    import re
+
     scripts = []
     if os.path.isdir(examples_dir):
         for f in sorted(os.listdir(examples_dir)):
-            if f.endswith(".txt"):
-                with open(os.path.join(examples_dir, f)) as fh:
-                    text = fh.read()
-                # skip very long examples (reference skips >15 min, :620-648)
-                if len(text.split()) < 2500:
-                    scripts.append([text])
+            if not f.lower().endswith(".txt"):
+                continue
+            m = re.search(r"(\d+)min", f.lower())
+            if m and int(m.group(1)) > 15:
+                continue
+            with open(os.path.join(examples_dir, f), encoding="utf-8") as fh:
+                text = "\n".join(l for l in fh.read().strip().splitlines() if l.strip())
+            if text:
+                scripts.append([text])
     return scripts
 
 
@@ -199,6 +232,10 @@ def main():
     ap.add_argument("--ddpm_steps", type=int, default=5)
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--share", action="store_true")
+    ap.add_argument("--min_buffer_sec", type=float, default=30.0,
+                    help="pending audio before a UI yield (reference: 30 s)")
+    ap.add_argument("--min_interval_sec", type=float, default=15.0,
+                    help="max seconds between UI yields (reference: 15 s)")
     args = ap.parse_args()
 
     try:
@@ -212,9 +249,17 @@ def main():
         )
         sys.exit(1)
 
-    demo = VibeVoiceDemo(args.model_path, ddpm_steps=args.ddpm_steps)
+    demo = VibeVoiceDemo(
+        args.model_path,
+        ddpm_steps=args.ddpm_steps,
+        min_buffer_sec=args.min_buffer_sec,
+        min_interval_sec=args.min_interval_sec,
+    )
     ui = build_ui(demo, args.voices_dir)
-    ui.queue(max_size=20).launch(server_port=args.port, share=args.share)
+    # queue size 20, one generation at a time (reference :1143-1146)
+    ui.queue(max_size=20, default_concurrency_limit=1).launch(
+        server_port=args.port, share=args.share
+    )
 
 
 if __name__ == "__main__":

@@ -4,11 +4,14 @@ A dependency-free (stdlib http.server) serving front-end: concurrent POSTs
 are batched into one fused decode on the device by
 vibevoice_tpu.serving.ServingEngine.
 
-  POST /tts   body: {"text": "Speaker 1: ...", "speaker_names": ["Alice"],
-                     "cfg_scale"?: unused (compiled into the engine),
-                     "seed"?: int}
-              -> audio/wav (streamed as chunks are produced)
-  GET  /health -> {"status": "ok", "active": N}
+  POST /tts         body: {"text": "Speaker 1: ...", "speaker_names": ["Alice"],
+                           "seed"?: int}
+                    -> audio/wav (whole file once generation completes)
+  POST /tts/stream  same body -> chunked-transfer audio/wav: the WAV header
+                    goes out immediately and PCM chunks follow as the engine
+                    produces frames (incremental delivery — the HTTP analog
+                    of the reference's streamer->Gradio path)
+  GET  /health      -> {"status": "ok", "active": N}
 
 Usage:
   python demo/serve.py --model_path <ckpt> --port 8400 --max_batch 4
@@ -93,6 +96,8 @@ def build_server(args):
     voices_dir = args.voices_dir
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
+
         def log_message(self, fmt, *a):
             if args.verbose:
                 super().log_message(fmt, *a)
@@ -111,7 +116,7 @@ def build_server(args):
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path != "/tts":
+            if self.path not in ("/tts", "/tts/stream"):
                 self.send_error(404)
                 return
             try:
@@ -146,6 +151,10 @@ def build_server(args):
                     seed=int(req.get("seed", 0)),
                 )
             )
+            if self.path == "/tts/stream":
+                self._stream_response(handle)
+                return
+
             try:
                 audio = handle.result(timeout=args.request_timeout)
             except Exception as e:
@@ -159,6 +168,40 @@ def build_server(args):
             self.end_headers()
             self.wfile.write(wav_header(SAMPLE_RATE, len(pcm) // 2))
             self.wfile.write(pcm)
+
+        def _write_chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        def _stream_response(self, handle):
+            """Chunked-transfer WAV: header immediately, PCM per frame batch.
+            The header's RIFF/data sizes are the 0xFFFFFFFF 'unknown length'
+            convention players accept for live streams."""
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            header = (
+                b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16)
+                + b"data" + struct.pack("<I", 0xFFFFFFFF)
+            )
+            try:
+                self._write_chunk(header)
+                self.wfile.flush()
+                for frame in handle.stream():
+                    pcm = (np.clip(frame, -1, 1) * 32767).astype("<i2").tobytes()
+                    self._write_chunk(pcm)
+                    self.wfile.flush()
+                if handle.error is not None:
+                    raise handle.error
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client hung up mid-stream
+            except Exception:
+                pass  # stream already started; terminate it cleanly below
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     server.engine = engine  # for tests / shutdown

@@ -183,3 +183,92 @@ def test_orbax_checkpoint_roundtrip(tmp_path, params):
     back = ckpt.restore_train_state(path, tree)
     np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
     np.testing.assert_array_equal(np.asarray(back["b"]["c"]), np.asarray(tree["b"]["c"]))
+
+
+def test_freeze_filter_and_accumulation(params):
+    """Selective freeze (reference train_vibevoice.py:390-468) + gradient
+    accumulation: frozen subtrees stay bit-identical; accumulation applies
+    the averaged update only at the k-th micro-step."""
+    from vibevoice_tpu.finetune.train_step import (
+        build_trainable_filter,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    trainable = build_trainable_filter(
+        train_connectors=False,
+        train_diffusion_head=True,
+        head_layers_to_freeze=(0,),
+        freeze_embed=True,
+        lm_layers_to_freeze=(0,),
+    )
+    opt = make_optimizer(
+        learning_rate=1e-2, warmup_steps=1, total_steps=4, accumulation_steps=2,
+        trainable_filter=trainable,
+    )
+    step_fn = jax.jit(make_train_step(CFG, opt, TrainOptions(), trainable_filter=trainable))
+    state = init_train_state(params, opt)
+    p0 = jax.tree.map(np.asarray, params)
+
+    state, _ = step_fn(state, make_batch(), jax.random.PRNGKey(0))
+    # first micro-step of 2: NO parameter change yet (accumulation) — except
+    # the speech stats buffers, which initialise from the first batch
+    same = jax.tree.map(lambda a, b: np.array_equal(a, np.asarray(b)), p0, state.params)
+    same.pop("speech_scaling_factor")
+    same.pop("speech_bias_factor")
+    assert all(jax.tree_util.tree_leaves(same)), "params changed before accumulation boundary"
+
+    # micro-steps 2-4: two optimizer updates land (the first at warmup LR=0)
+    for i in range(1, 4):
+        state, _ = step_fn(state, make_batch(), jax.random.PRNGKey(i))
+
+    # trainable parts move, frozen parts stay bit-identical
+    def assert_frozen(path_np, path_new):
+        np.testing.assert_array_equal(path_np, np.asarray(path_new))
+
+    assert_frozen(p0["acoustic_tokenizer"]["encoder"]["head"]["w"],
+                  state.params["acoustic_tokenizer"]["encoder"]["head"]["w"])
+    assert_frozen(p0["acoustic_connector"]["fc1"]["w"],
+                  state.params["acoustic_connector"]["fc1"]["w"])
+    assert_frozen(p0["lm"]["embed"], state.params["lm"]["embed"])
+    assert_frozen(p0["lm"]["layers"][0]["attn"]["q"]["w"],
+                  state.params["lm"]["layers"][0]["attn"]["q"]["w"])
+    assert_frozen(p0["diffusion_head"]["layers"][0]["ffn"]["gate"]["w"],
+                  state.params["diffusion_head"]["layers"][0]["ffn"]["gate"]["w"])
+    # trainable parts moved
+    assert not np.array_equal(
+        p0["lm"]["layers"][1]["attn"]["q"]["w"],
+        np.asarray(state.params["lm"]["layers"][1]["attn"]["q"]["w"]),
+    )
+    assert not np.array_equal(
+        p0["diffusion_head"]["layers"][1]["ffn"]["gate"]["w"],
+        np.asarray(state.params["diffusion_head"]["layers"][1]["ffn"]["gate"]["w"]),
+    )
+
+
+def test_trainer_cli_smoke_freeze_accum_resume(tmp_path):
+    """End-to-end LoRA fine-tune smoke through the CLI main() exercising
+    accumulation + eval + CE debug + resume (VERDICT round-2 item 9)."""
+    import sys
+    from vibevoice_tpu.finetune import train as T
+
+    out = str(tmp_path / "ft")
+    argv = [
+        "train", "--synthetic_data", "--use_lora", "--max_steps", "4",
+        "--per_device_batch_size", "2", "--gradient_accumulation_steps", "2",
+        "--save_steps", "2", "--log_steps", "1", "--eval_steps", "2",
+        "--eval_split_size", "0.1", "--debug_ce_every_n_steps", "2",
+        "--output_dir", out, "--warmup_steps", "1",
+    ]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        T.main()
+        sys.argv = argv + ["--resume_from_checkpoint", f"{out}/checkpoint-2"]
+        T.main()
+    finally:
+        sys.argv = old
+    import os
+
+    assert os.path.isdir(f"{out}/checkpoint-4")

@@ -151,3 +151,16 @@ class TestInt8Quant:
         # weight-only per-channel int8 keeps hidden states close
         rel = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
         assert rel < 0.05, rel
+
+
+def test_quantize_weight_chunked_is_exact():
+    """Column-chunked quantization (large-weight path) must equal the
+    single-shot result bit-for-bit (scales are per-output-column)."""
+    from vibevoice_tpu.ops.quant import quantize_weight
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 1536).astype(np.float32))
+    a = quantize_weight(w)
+    b = quantize_weight(w, max_chunk_bytes=64 * 256 * 4)  # force 6 chunks
+    np.testing.assert_array_equal(np.asarray(a["w8"]), np.asarray(b["w8"]))
+    np.testing.assert_array_equal(np.asarray(a["scale"]), np.asarray(b["scale"]))

@@ -117,3 +117,58 @@ def test_bad_request_surfaces_error(engine):
     # engine still serves
     ok = engine.submit(_make_request(3))
     ok.result(timeout=120)
+
+
+def test_http_server_whole_and_chunked_stream():
+    """demo/serve.py endpoints: whole-WAV POST /tts and chunked-transfer
+    POST /tts/stream both deliver valid 16-bit PCM WAV from the tiny model."""
+    import http.client
+    import json
+    import struct
+    import threading
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from demo.serve import build_server
+
+    class A:  # argparse stand-in
+        model_path = None
+        host = "127.0.0.1"
+        port = 0
+        max_batch = 2
+        max_len = 96
+        cfg_scale = 1.3
+        ddpm_steps = 2
+        int8 = False
+        voices_dir = "/nonexistent"
+        request_timeout = 300.0
+        verbose = False
+
+    server = build_server(A)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"text": "Speaker 1: hello world"}).encode()
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/tts", body, {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        wav = r.read()
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        n_samples = struct.unpack("<I", wav[40:44])[0] // 2
+        assert len(wav) == 44 + n_samples * 2
+
+        conn.request("POST", "/tts/stream", body, {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Transfer-Encoding") == "chunked"
+        stream = r.read()  # http.client de-chunks
+        assert stream[:4] == b"RIFF" and stream[8:12] == b"WAVE"
+        pcm = stream[44:]
+        assert len(pcm) % 2 == 0
+        conn.close()
+    finally:
+        server.shutdown()
+        server.engine.shutdown()

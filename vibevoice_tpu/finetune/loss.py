@@ -59,6 +59,12 @@ class TrainOut(NamedTuple):
     diffusion_loss: jnp.ndarray
     speech_scaling_factor: jnp.ndarray
     speech_bias_factor: jnp.ndarray
+    # CE debug scalars (reference debug_ce_details dumps,
+    # train_vibevoice.py:847-880)
+    ce_token_count: jnp.ndarray = jnp.zeros((), jnp.int32)
+    ce_max: jnp.ndarray = jnp.zeros(())
+    ce_accuracy: jnp.ndarray = jnp.zeros(())
+    speech_frame_count: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _masked_std_mean(x: jnp.ndarray, mask: jnp.ndarray, dp_axis: Optional[str]):
@@ -137,7 +143,11 @@ def train_forward(
     )
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     tok_logp = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    ce = -jnp.sum(tok_logp * label_mask) / jnp.maximum(jnp.sum(label_mask), 1)
+    n_ce = jnp.sum(label_mask)
+    ce = -jnp.sum(tok_logp * label_mask) / jnp.maximum(n_ce, 1)
+    ce_max = jnp.max(jnp.where(label_mask, -tok_logp, 0.0))
+    hits = (jnp.argmax(logits[:, :-1], axis=-1) == labels) & label_mask
+    ce_acc = jnp.sum(hits) / jnp.maximum(n_ce, 1)
 
     # ---- diffusion loss ---------------------------------------------------
     # scatter target latents to their sequence positions
@@ -182,4 +192,8 @@ def train_forward(
         diffusion_loss=diffusion_loss,
         speech_scaling_factor=scaling,
         speech_bias_factor=bias,
+        ce_token_count=n_ce.astype(jnp.int32),
+        ce_max=ce_max,
+        ce_accuracy=ce_acc,
+        speech_frame_count=speech_len.astype(jnp.int32),
     )

@@ -31,6 +31,17 @@ def parse_args():
     ap.add_argument("--lora_alpha", type=int, default=32)
     ap.add_argument("--lora_target_modules", nargs="*", default=["q", "k", "v", "o", "gate", "up", "down"])
     ap.add_argument("--train_diffusion_head", action="store_true", default=True)
+    # selective freeze/unfreeze (reference ModelArguments :107-122)
+    ap.add_argument("--train_connectors", action="store_true")
+    ap.add_argument("--train_acoustic_tokenizer", action="store_true",
+                    help="unfreeze the acoustic tokenizer (reference freezes it by default)")
+    ap.add_argument("--train_semantic_tokenizer", action="store_true")
+    ap.add_argument("--train_embed", action="store_true",
+                    help="unfreeze token embeddings (+tied lm_head)")
+    ap.add_argument("--layers_to_freeze", type=str, default=None,
+                    help="comma-separated diffusion-head LAYER indices to freeze, e.g. '0,1'")
+    ap.add_argument("--lm_layers_to_freeze", type=str, default=None,
+                    help="comma-separated LM layer indices to freeze")
     # data
     ap.add_argument("--dataset_jsonl", type=str, default=None, help="jsonl of {text, audio}")
     ap.add_argument("--synthetic_data", action="store_true")
@@ -47,8 +58,15 @@ def parse_args():
     ap.add_argument("--diffusion_loss_weight", type=float, default=1.0)
     ap.add_argument("--ddpm_batch_mul", type=int, default=4)
     ap.add_argument("--ema_decay", type=float, default=0.999)
+    ap.add_argument("--gradient_accumulation_steps", type=int, default=1)
     ap.add_argument("--save_steps", type=int, default=50)
     ap.add_argument("--log_steps", type=int, default=10)
+    ap.add_argument("--eval_steps", type=int, default=0, help="eval every N steps (0 = off)")
+    ap.add_argument("--eval_split_size", type=float, default=0.0,
+                    help="held-out fraction of the dataset for eval")
+    ap.add_argument("--debug_ce_every_n_steps", type=int, default=0,
+                    help="log CE token counts / max / argmax accuracy every N steps "
+                    "(reference debug_ce_details)")
     ap.add_argument("--resume_from_checkpoint", type=str, default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--report_to", type=str, default=None, choices=[None, "wandb"],
@@ -81,7 +99,9 @@ def main():
     from .loss import TrainOptions
     from .lora import LoraConfig, init_lora, merge_lora, save_lora_assets
     from .train_step import (
+        build_trainable_filter,
         init_train_state,
+        make_eval_step,
         make_lora_train_step,
         make_optimizer,
         make_train_step,
@@ -117,7 +137,13 @@ def main():
         raw = synthetic_dataset(min_dur=0.005, max_dur=0.02)
     else:
         raw = synthetic_dataset()
+
+    eval_raw = []
+    if args.eval_split_size > 0:
+        n_eval = max(1, int(len(raw) * args.eval_split_size))
+        eval_raw, raw = raw[:n_eval], raw[n_eval:]
     dataset = VibeVoiceDataset(raw, seed=args.seed)
+    eval_dataset = VibeVoiceDataset(eval_raw, seed=args.seed) if eval_raw else None
 
     collator = VibeVoiceCollator(
         processor=processor,
@@ -139,12 +165,29 @@ def main():
         diffusion_loss_weight=args.diffusion_loss_weight,
         ddpm_batch_mul=args.ddpm_batch_mul,
     )
+    def parse_idx(s):
+        return tuple(int(x) for x in s.split(",") if x.strip()) if s else ()
+
+    trainable = None
+    if not args.use_lora:
+        trainable = build_trainable_filter(
+            freeze_acoustic_tokenizer=not args.train_acoustic_tokenizer,
+            freeze_semantic_tokenizer=not args.train_semantic_tokenizer,
+            train_connectors=args.train_connectors,
+            train_diffusion_head=args.train_diffusion_head,
+            head_layers_to_freeze=parse_idx(args.layers_to_freeze),
+            freeze_embed=not args.train_embed,
+            lm_layers_to_freeze=parse_idx(args.lm_layers_to_freeze),
+        )
+
     optimizer = make_optimizer(
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
         grad_clip=args.gradient_clipping,
         warmup_steps=args.warmup_steps,
         total_steps=args.max_steps,
+        accumulation_steps=args.gradient_accumulation_steps,
+        trainable_filter=trainable,
     )
 
     lora_cfg = None
@@ -160,7 +203,9 @@ def main():
         step_fn = jax.jit(make_lora_train_step(cfg, optimizer, lora_cfg, opts))
     else:
         state = init_train_state(params, optimizer)
-        step_fn = jax.jit(make_train_step(cfg, optimizer, opts))
+        step_fn = jax.jit(make_train_step(cfg, optimizer, opts, trainable_filter=trainable))
+
+    eval_fn = jax.jit(make_eval_step(cfg, opts)) if eval_dataset is not None else None
 
     ema = init_ema(params["diffusion_head"])
     start_step = 0
@@ -184,6 +229,28 @@ def main():
 
     key = jax.random.PRNGKey(args.seed + 2)
     bs = args.per_device_batch_size
+
+    # startup tokenizer/CE smoke test (reference train_vibevoice.py:344-362):
+    # one collated batch must produce a finite CE before burning train time
+    from .train_step import make_eval_step as _mes
+
+    probe = collator([dataset[i] for i in range(min(bs, len(dataset)))])
+    probe_out = _mes(cfg, opts)(
+        state.params if not args.use_lora else merge_lora(params, state.params, lora_cfg),
+        probe,
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(probe_out.ce_loss)), "startup CE smoke test failed (non-finite)"
+    print(
+        f"startup smoke: ce={float(probe_out.ce_loss):.4f} over "
+        f"{int(probe_out.ce_token_count)} tokens, "
+        f"{int(probe_out.speech_frame_count)} diffusion frames"
+    )
+
+    lora_init_snapshot = None
+    if args.use_lora:
+        lora_init_snapshot = jax.tree.map(np.asarray, state.params)
+
     t0 = time.time()
 
     def save(step):
@@ -222,7 +289,47 @@ def main():
         else:
             state, out = step_fn(state, batch, sk)
             head = state.params["diffusion_head"]
-        ema = update_ema(ema, head, args.ema_decay)
+        # EMA tracks optimizer updates, not accumulation micro-steps
+        if (step + 1) % args.gradient_accumulation_steps == 0:
+            ema = update_ema(ema, head, args.ema_decay)
+
+        if args.use_lora and step == start_step and lora_init_snapshot is not None:
+            # adapter-actually-changed diagnostic (reference LoRADebugCallback,
+            # train_vibevoice.py:545-603); with accumulation the first update
+            # lands at the k-th micro-step, so only warn when it should have
+            if args.gradient_accumulation_steps == 1:
+                now = jax.tree.map(np.asarray, state.params)
+                flat_a = jax.tree_util.tree_leaves(lora_init_snapshot)
+                flat_b = jax.tree_util.tree_leaves(now)
+                changed = sum(int(not np.allclose(a, b)) for a, b in zip(flat_a, flat_b))
+                print(f"lora debug: {changed}/{len(flat_b)} adapter tensors changed after step 1")
+                if changed == 0:
+                    print("WARNING: no LoRA adapter changed after the first step")
+
+        if args.debug_ce_every_n_steps and (step + 1) % args.debug_ce_every_n_steps == 0:
+            print(
+                f"  ce-debug step {step + 1}: {int(out.ce_token_count)} CE tokens, "
+                f"max token CE {float(out.ce_max):.3f}, "
+                f"argmax acc {float(out.ce_accuracy):.3f}, "
+                f"{int(out.speech_frame_count)} diffusion frames"
+            )
+
+        if eval_fn is not None and args.eval_steps and (step + 1) % args.eval_steps == 0:
+            eval_params = (
+                merge_lora(params, state.params, lora_cfg) if args.use_lora else state.params
+            )
+            e_losses = []
+            for e0 in range(0, len(eval_dataset), bs):
+                items = [eval_dataset[j] for j in range(e0, min(e0 + bs, len(eval_dataset)))]
+                if len(items) < bs:
+                    items += [eval_dataset[0]] * (bs - len(items))
+                eo = eval_fn(eval_params, collator(items), jax.random.PRNGKey(1234))
+                e_losses.append((float(eo.ce_loss), float(eo.diffusion_loss)))
+            ce_e = sum(x for x, _ in e_losses) / len(e_losses)
+            df_e = sum(x for _, x in e_losses) / len(e_losses)
+            print(f"  eval step {step + 1}: ce={ce_e:.4f} diffusion={df_e:.4f}")
+            if wandb_run is not None:
+                wandb_run.log({"eval_ce": ce_e, "eval_diffusion": df_e}, step=step + 1)
 
         if (step + 1) % args.log_steps == 0 or step == start_step:
             metrics = {
@@ -242,7 +349,8 @@ def main():
         if (step + 1) % args.save_steps == 0:
             save(step + 1)
 
-    save(args.max_steps)
+    if args.max_steps % args.save_steps != 0 or start_step >= args.max_steps:
+        save(args.max_steps)
     print("done")
 
 

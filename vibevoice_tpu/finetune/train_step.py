@@ -20,23 +20,47 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _path_keys(path) -> Tuple:
+    return tuple(p.key if hasattr(p, "key") else getattr(p, "idx", None) for p in path)
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     weight_decay: float = 0.01,
     grad_clip: float = 1.0,
     warmup_steps: int = 100,
     total_steps: int = 10_000,
+    accumulation_steps: int = 1,
+    trainable_filter=None,
 ) -> optax.GradientTransformation:
+    """accumulation_steps > 1 wraps the optimizer in optax.MultiSteps (the HF
+    Trainer gradient_accumulation_steps analog): gradients average over k
+    micro-batches and parameters update every k-th call.
+
+    trainable_filter(path_keys) -> bool routes frozen leaves to
+    optax.set_to_zero() via multi_transform — zeroing their GRADIENT alone is
+    not enough, adamw's weight decay would still shrink them (the reference's
+    requires_grad=False means no update of any kind)."""
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=learning_rate,
         warmup_steps=warmup_steps,
         decay_steps=max(total_steps, warmup_steps + 1),
     )
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, weight_decay=weight_decay),
     )
+    if trainable_filter is not None:
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "t" if trainable_filter(_path_keys(path)) else "f", params
+            )
+
+        opt = optax.multi_transform({"t": opt, "f": optax.set_to_zero()}, label_fn)
+    if accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
+    return opt
 
 
 def make_train_step(
@@ -86,6 +110,64 @@ def _mask_grads(grads: Dict, trainable_filter) -> Dict:
 
     leaves = [zero_if_frozen(p, g) for p, g in paths]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def build_trainable_filter(
+    *,
+    freeze_acoustic_tokenizer: bool = True,
+    freeze_semantic_tokenizer: bool = True,
+    train_connectors: bool = False,
+    train_diffusion_head: bool = True,
+    head_layers_to_freeze: Tuple[int, ...] = (),
+    freeze_embed: bool = True,
+    lm_layers_to_freeze: Tuple[int, ...] = (),
+):
+    """Path filter implementing the reference's selective freeze/unfreeze maze
+    (reference train_vibevoice.py:107-122, :390-468): tokenizers frozen by
+    default, connectors/diffusion-head opt-in, embeddings + (tied) lm_head
+    frozen, plus per-layer freezing of diffusion-head and LM blocks."""
+    head_frozen = set(head_layers_to_freeze)
+    lm_frozen = set(lm_layers_to_freeze)
+
+    def trainable(path) -> bool:
+        root = path[0]
+        if root == "acoustic_tokenizer":
+            return not freeze_acoustic_tokenizer
+        if root == "semantic_tokenizer":
+            return not freeze_semantic_tokenizer
+        if root in ("acoustic_connector", "semantic_connector"):
+            return train_connectors
+        if root == "diffusion_head":
+            if not train_diffusion_head:
+                return False
+            if len(path) >= 3 and path[1] == "layers" and path[2] in head_frozen:
+                return False
+            return True
+        if root in ("speech_scaling_factor", "speech_bias_factor"):
+            return False  # buffers (reference registers them, not params)
+        if root == "lm_head":
+            return not freeze_embed
+        if root == "lm":
+            if len(path) >= 2 and path[1] == "embed":
+                return not freeze_embed
+            if len(path) >= 3 and path[1] == "layers" and path[2] in lm_frozen:
+                return False
+            return True
+        return True
+
+    return trainable
+
+
+def make_eval_step(cfg: VibeVoiceConfig, opts: TrainOptions = TrainOptions()):
+    """Loss-only forward for the held-out split (the reference gets its eval
+    loop from HF Trainer for free; here it is one jitted function)."""
+    hcfg = cfg.diffusion_head_config
+    noise_schedule = NoiseSchedule.create(hcfg.ddpm_num_steps, hcfg.ddpm_beta_schedule)
+
+    def eval_step(params, batch: Batch, key) -> TrainOut:
+        return train_forward(cfg, params, batch, key, opts, noise_schedule)
+
+    return eval_step
 
 
 def init_train_state(params: Dict, optimizer: optax.GradientTransformation) -> TrainState:

@@ -24,12 +24,35 @@ BLOCK_K = 512
 BLOCK_N = 512
 
 
-def quantize_weight(w: jnp.ndarray) -> Dict:
-    """w (IN, OUT) float -> {'w8': int8, 'scale': (OUT,) f32}; keeps bias out."""
-    wf = w.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
-    w8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"w8": w8, "scale": scale}
+def quantize_weight(w: jnp.ndarray, max_chunk_bytes: int = 256 << 20) -> Dict:
+    """w (IN, OUT) float -> {'w8': int8, 'scale': (OUT,) f32}; keeps bias out.
+
+    Very large weights (e.g. a 7B lm_head, 3584x152064) quantize in
+    output-column chunks: scales are per-column, so chunking is exact, and it
+    caps the float32 transients — a multi-GB f32 spike at high HBM occupancy
+    can wedge this image's remote-TPU transfer path even when the allocation
+    itself succeeds."""
+
+    def q(block):
+        wf = block.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+        w8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return w8, scale
+
+    cin, cout = w.shape
+    if cin * cout * 4 <= max_chunk_bytes:
+        w8, scale = q(w)
+        return {"w8": w8, "scale": scale}
+    chunk = max(512, max_chunk_bytes // (cin * 4))
+    parts = []
+    for i in range(0, cout, chunk):
+        w8, scale = q(w[:, i : i + chunk])
+        w8.block_until_ready()  # keep the f32 transient peak to one chunk
+        parts.append((w8, scale))
+    return {
+        "w8": jnp.concatenate([p[0] for p in parts], axis=1),
+        "scale": jnp.concatenate([p[1] for p in parts]),
+    }
 
 
 def _kernel(x_ref, w8_ref, scale_ref, o_ref, acc_ref, *, n_k: int):
