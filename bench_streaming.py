@@ -36,6 +36,8 @@ def main():
     )
     dtype = jnp.bfloat16
     params = st.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if os.environ.get("BENCH_NO_FUSE") != "1":
+        params = st.fuse_vocoder(params, cfg, quantize=True)
     opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=5, max_length=2048)
     text_window_fn, speech_window_fn, single_frame_fn = st.make_window_fns(cfg, opts)
 

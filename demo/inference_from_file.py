@@ -100,7 +100,11 @@ def main():
     if args.model_path:
         from vibevoice_tpu.utils.hf_interop import load_checkpoint
 
-        cfg, params, processor = load_checkpoint(args.model_path, dtype=args.device_dtype)
+        # int8 checkpoints quantize on the HOST before device transfer (7B's
+        # bf16 LM cannot coexist with its int8 copy on a 16 GB chip)
+        cfg, params, processor = load_checkpoint(
+            args.model_path, dtype=args.device_dtype, int8=args.int8 and not args.checkpoint_path
+        )
         if args.checkpoint_path:
             from vibevoice_tpu.finetune.lora import load_lora_assets
 
@@ -153,8 +157,10 @@ def main():
         rng = np.random.RandomState(0)
         voice_samples = [[rng.randn(hop * 4).astype(np.float32) * 0.05 for _ in range(2)]]
 
-    if args.int8:
+    if args.int8 and "lm_head_q" not in params:  # not already host-quantized
         params = vv.quantize_for_inference(params)
+    if args.int8:
+        params = vv.fuse_vocoder(params, cfg, quantize=True)
 
     proc_out = processor(text=script, voice_samples=voice_samples)
     prompt_tokens = int(proc_out.attention_mask.sum())

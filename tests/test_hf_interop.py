@@ -114,3 +114,31 @@ def test_prefill_hidden_matches_reference(ref_model):
 
     np.testing.assert_allclose(np.asarray(h), ref_h, rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=1e-3, atol=2e-4)
+
+
+def test_load_checkpoint_int8_host_quantized(tmp_path, ref_model):
+    """int8 checkpoint loading quantizes on the host (the 7B path where the
+    bf16 LM cannot coexist with its int8 copy on-device): the loaded tree
+    carries int8 LM linears + lm_head_q and drives a forward step."""
+    import json
+    import torch
+    from vibevoice_tpu.utils.hf_interop import load_checkpoint
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    torch.save(ref_model.state_dict(), ckpt / "pytorch_model.bin")
+    import dataclasses
+
+    with open(ckpt / "config.json", "w") as f:
+        json.dump(dataclasses.asdict(TINY), f, default=str)
+    with open(ckpt / "preprocessor_config.json", "w") as f:
+        json.dump({"speech_tok_compress_ratio": 8, "db_normalize": True}, f)
+
+    cfg, params, _ = load_checkpoint(str(ckpt), dtype="float32", int8=True)
+    assert "lm_head_q" in params
+    assert params["lm"]["layers"][0]["mlp"]["gate"].get("w8") is not None or (
+        # tiny dims below the 512-tile threshold stay dense by design
+        "w" in params["lm"]["layers"][0]["mlp"]["gate"]
+    )
+    h = vv.lm_logits(params, jnp.ones((1, TINY.decoder_config.hidden_size)))
+    assert np.isfinite(np.asarray(h)).all()

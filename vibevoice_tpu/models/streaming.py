@@ -94,6 +94,19 @@ def _upper_cfg(cfg: VibeVoiceStreamingConfig):
     )
 
 
+def fuse_vocoder(params: Params, cfg: VibeVoiceStreamingConfig, quantize: bool = True) -> Params:
+    """Pack the acoustic decoder's stage-0 block stack into the fused Pallas
+    kernel (see models/vibevoice.fuse_vocoder; the streaming model has no
+    semantic tokenizer)."""
+    out = dict(params)
+    ac = dict(params["acoustic_tokenizer"])
+    ac.update(
+        tok.fuse_hot_stages({"decoder": ac["decoder"]}, cfg.acoustic_tokenizer_config, quantize)
+    )
+    out["acoustic_tokenizer"] = ac
+    return out
+
+
 def eos_logit(params: Params, h: jnp.ndarray) -> jnp.ndarray:
     """BinaryClassifier: Linear -> ReLU -> Linear -> 1 (reference :42-53)."""
     p = params["tts_eos_classifier"]

@@ -226,8 +226,16 @@ def fuse_hot_stages(tok_params: Params, cfg, quantize: bool = True, keep_dense: 
     same tree must also serve batch-mode encode/decode)."""
     from ..ops.vocoder_fused import pack_stage
 
+    def packable(blocks) -> bool:
+        if not blocks:
+            return False
+        dim = blocks[0]["norm"]["w"].shape[0]
+        hid = blocks[0]["ffn"]["fc1"]["w"].shape[1]
+        # Mosaic needs 128-lane tiles; tiny test configs run interpret on CPU
+        return (dim % 128 == 0 and hid % 128 == 0) or _fuse_interpret()
+
     out = dict(tok_params)
-    if "decoder" in tok_params:
+    if "decoder" in tok_params and packable(tok_params["decoder"]["stages"][0]):
         dec = dict(tok_params["decoder"])
         stages = list(dec["stages"])
         dec["stage0_packed"] = pack_stage(stages[0], cfg.layernorm_eps, quantize)
@@ -235,7 +243,7 @@ def fuse_hot_stages(tok_params: Params, cfg, quantize: bool = True, keep_dense: 
             stages[0] = []
         dec["stages"] = stages
         out["decoder"] = dec
-    if "encoder" in tok_params:
+    if "encoder" in tok_params and packable(tok_params["encoder"]["stages"][-1]):
         enc = dict(tok_params["encoder"])
         stages = list(enc["stages"])
         enc["stageN_packed"] = pack_stage(stages[-1], cfg.layernorm_eps, quantize)

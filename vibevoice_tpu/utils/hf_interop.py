@@ -120,14 +120,32 @@ def convert_streaming_model(sd: Dict, cfg: VibeVoiceStreamingConfig) -> Dict:
     }
 
 
-def load_checkpoint(path: str, dtype: str = "bfloat16") -> Tuple[VibeVoiceConfig, Dict, object]:
-    """Load (config, params, processor) from an HF-style checkpoint dir."""
+def load_checkpoint(
+    path: str, dtype: str = "bfloat16", int8: bool = False
+) -> Tuple[VibeVoiceConfig, Dict, object]:
+    """Load (config, params, processor) from an HF-style checkpoint dir.
+
+    int8=True quantizes the LM + logits projection while the weights are
+    still on the HOST, then ships only the int8 copies to the accelerator —
+    required for 7B on a 16 GB chip, where the bf16 LM (~14 GB) cannot
+    coexist with its quantized copy."""
     from ..processor.processor import VibeVoiceProcessor
 
     cfg = VibeVoiceConfig.from_json_file(os.path.join(path, "config.json"))
     sd = _load_state_dict(path)
-    params = convert_full_model(sd, cfg)
-    params = _to_dtype(params, jnp.dtype(dtype))
+
+    if int8:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            params = convert_full_model(sd, cfg)
+            params = _to_dtype(params, jnp.dtype(dtype))
+            from ..models.vibevoice import quantize_for_inference
+
+            params = quantize_for_inference(params)
+        params = jax.device_put(params)
+    else:
+        params = convert_full_model(sd, cfg)
+        params = _to_dtype(params, jnp.dtype(dtype))
     processor = VibeVoiceProcessor.from_pretrained(path)
     return cfg, params, processor
 
