@@ -209,8 +209,9 @@ def main():
             components.append("tokenizers")
         params = vv.quantize_for_inference(params, components=tuple(components))
     if os.environ.get("BENCH_NO_FUSE") != "1":
-        # fused Pallas vocoder stage (int8 weights iff the LM is int8)
-        params = vv.fuse_vocoder(params, cfg, quantize=use_int8)
+        # fused Pallas vocoder stages + diffusion-head FFN stack
+        # (int8 weights iff the LM is int8)
+        params = vv.fuse_for_serving(params, cfg, quantize=use_int8)
 
     kw = dict(max_len=max_len, ddpm_steps=ddpm_steps,
               frames_per_dispatch=frames_per_dispatch, steps=steps)

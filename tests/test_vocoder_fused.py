@@ -111,3 +111,71 @@ def test_fuse_vocoder_model_transform(params):
     wav = jnp.asarray(np.random.RandomState(4).randn(1, 4 * HOP, 1), jnp.float32)
     mean, _ = tok.encode(ACFG, fused["acoustic_tokenizer"], wav)
     assert mean.shape == (1, 4, ACFG.vae_dim)
+
+
+class TestFusedHead:
+    """Fused diffusion-head FFN stack (ops/head_fused.py) vs the dense
+    hoisted-AdaLN path, dense and int8."""
+
+    def _setup(self):
+        from vibevoice_tpu.models import diffusion_head as dh
+
+        hcfg = CFG.diffusion_head_config
+        p = dh.init(jax.random.PRNGKey(1), hcfg)
+        p = jax.tree.map(lambda x: jax.random.normal(jax.random.PRNGKey(0), x.shape) * 0.05
+                         if x.ndim >= 2 else x, p)
+        rng = np.random.RandomState(2)
+        noisy = jnp.asarray(rng.randn(2, hcfg.latent_size), jnp.float32)
+        t = jnp.asarray([100.0, 500.0], jnp.float32)
+        cond = jnp.asarray(rng.randn(2, hcfg.hidden_size), jnp.float32)
+        return dh, hcfg, p, noisy, t, cond
+
+    def test_hoisted_mods_match_apply(self):
+        dh, hcfg, p, noisy, t, cond = self._setup()
+        ref = dh.apply(p, hcfg, noisy, t, cond)
+        # per-sample timesteps differ; hoist per unique step then gather rows
+        mods_all = dh.precompute_mods(p, hcfg, t, cond)  # (K=2, B=2, .)
+        mods = {
+            "layers": [jnp.stack([m[i, i] for i in range(2)]) for m in mods_all["layers"]],
+            "final": jnp.stack([mods_all["final"][i, i] for i in range(2)]),
+        }
+        out = dh.apply_with_mods(p, hcfg, noisy, mods)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_fused_kernel_matches_dense(self):
+        dh, hcfg, p, noisy, t, cond = self._setup()
+        tt = jnp.full((2,), 300.0)
+        mods_all = dh.precompute_mods(p, hcfg, tt[:1], cond)
+        mods = {"layers": [m[0] for m in mods_all["layers"]], "final": mods_all["final"][0]}
+        ref = dh.apply_with_mods(p, hcfg, noisy, mods)
+
+        fused = dh.fuse_head(p, hcfg, quantize=False, keep_dense=True)
+        out = dh.apply_with_mods(fused, hcfg, noisy, mods)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+        qfused = dh.fuse_head(p, hcfg, quantize=True)
+        assert "ffn" not in qfused["layers"][0]  # dense FFN weights dropped
+        qout = dh.apply_with_mods(qfused, hcfg, noisy, mods)
+        denom = max(float(np.abs(np.asarray(ref)).max()), 1e-3)
+        assert float(np.abs(np.asarray(qout) - np.asarray(ref)).max()) / denom < 0.05
+
+    def test_fuse_for_serving_end_to_end(self):
+        """generate() runs with the full serving pack (vocoder + head)."""
+        from vibevoice_tpu.models import inference as inf
+
+        params = vv.init(jax.random.PRNGKey(0), CFG)
+        fused = vv.fuse_for_serving(params, CFG, quantize=True)
+        toks = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2)
+        script = np.array([[7], [7], [6], [2]], np.int32)
+        ids = np.array([[10, 11, 5]], np.int64)
+        bank = {"init": np.random.RandomState(0).randn(8, 1, CFG.acoustic_vae_dim).astype(np.float32)}
+        out = inf.generate(CFG, fused, input_ids=ids, tokens=toks,
+                           opts=inf.GenerateOptions(ddpm_steps=3, max_length=48),
+                           forced_tokens=script, noise_bank=bank)
+        assert len(out.speech_outputs[0]) == 2 * HOP
+        # dense run with the same noise must be CLOSE (int8 error only)
+        out_d = inf.generate(CFG, params, input_ids=ids, tokens=toks,
+                             opts=inf.GenerateOptions(ddpm_steps=3, max_length=48),
+                             forced_tokens=script, noise_bank=bank)
+        a, b = out.speech_outputs[0], out_d.speech_outputs[0]
+        assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-3) < 0.2

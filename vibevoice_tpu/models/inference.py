@@ -332,7 +332,14 @@ def _make_step_body(
         sem_state = tok.reset_state(carry.sem_state, end_mask)
 
         # ---- 4. CFG diffusion scan (reference :629-633, :697-710) ---------
-        head_fn = lambda x, t, c: dh.apply(params["diffusion_head"], hcfg, x, t, c)
+        # AdaLN modulations for all K steps are precomputed once per frame
+        # (the solver timesteps are known), so the adaln weights are read
+        # once instead of K times — exact same math as dh.apply
+        mods = dh.precompute_mods(
+            params["diffusion_head"], hcfg, coeffs.timesteps,
+            jnp.concatenate([carry.h_pos, carry.h_neg], axis=0),
+        )
+        head_fn = lambda x, t, e: dh.apply_with_mods(params["diffusion_head"], hcfg, x, e)
         if inject:
             e = jnp.clip(carry.n_diff, 0, hooks["init"].shape[0] - 1)
             rows = jnp.arange(b)
@@ -357,6 +364,7 @@ def _make_step_body(
                 x_init,
                 key=sde_key,
                 noise=sde_noise,
+                extras=mods,
             )
 
         # ---- 5. vocode one frame + semantic re-encode (reference :636-664)

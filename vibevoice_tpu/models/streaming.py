@@ -286,7 +286,12 @@ def make_window_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
         b = state.tts_h.shape[0]
         dtype = params["language_model"]["embed"].dtype
         k_lat, k_sde = jax.random.split(key)
-        head_fn = lambda x, t, c: dh.apply(params["diffusion_head"], hcfg, x, t, c)
+        # hoisted AdaLN modulations (see models/inference.py step 4)
+        mods = dh.precompute_mods(
+            params["diffusion_head"], hcfg, coeffs.timesteps,
+            jnp.concatenate([state.tts_h, state.neg_tts_h], axis=0),
+        )
+        head_fn = lambda x, t, e: dh.apply_with_mods(params["diffusion_head"], hcfg, x, e)
         if inject:
             x_init = frame_noise["init"].astype(jnp.float32)
             sde_noise = frame_noise["sde"].astype(jnp.float32) if opts.sde else None
@@ -297,7 +302,7 @@ def make_window_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
             sde_key = k_sde if opts.sde else None
         latent = dpm.cfg_sample(
             coeffs, head_fn, state.tts_h, state.neg_tts_h, opts.cfg_scale, x_init,
-            key=sde_key, noise=sde_noise,
+            key=sde_key, noise=sde_noise, extras=mods,
         )
         scaled = latent / params["speech_scaling_factor"] - params["speech_bias_factor"]
         audio, dec_state = tok.decode(

@@ -133,6 +133,16 @@ def fuse_vocoder(params: Params, cfg: VibeVoiceConfig, quantize: bool = True) ->
     return out
 
 
+def fuse_for_serving(params: Params, cfg: VibeVoiceConfig, quantize: bool = True) -> Params:
+    """All serving-prep packs: fused vocoder stages + fused diffusion-head
+    FFN stack (pairs with the hoisted AdaLN path in models/inference.py)."""
+    out = fuse_vocoder(params, cfg, quantize)
+    out["diffusion_head"] = dh.fuse_head(
+        params["diffusion_head"], cfg.diffusion_head_config, quantize
+    )
+    return out
+
+
 def splice_speech_features(
     embeds: jnp.ndarray,
     speech_input_mask: jnp.ndarray,

@@ -502,12 +502,18 @@ def sample(
     dynamic_thresholding_ratio: float = 0.995,
     sample_max_value: float = 1.0,
     eps_space: bool = False,
+    extras=None,
 ) -> jnp.ndarray:
     """Run the full multistep solve as a `lax.scan`.
 
     denoise_fn(x, t) -> raw model output for a batch x (t is scalar-per-batch
     broadcast by the caller). The solve runs in float32 (reference step()
     upcasts, :993).
+
+    `extras`, if given, is a pytree of (N, ...) arrays scanned alongside the
+    coefficients; the per-step slice is passed as denoise_fn(x, t, extra) —
+    used to hoist timestep-dependent precomputation (e.g. the diffusion
+    head's AdaLN modulations) out of the scan.
 
     `noise`, if given, is an (N, *x.shape) array of per-step SDE variance
     noise used instead of drawing from `key` (the reference's
@@ -530,9 +536,9 @@ def sample(
 
     def step(carry, inp):
         x, m1, m2 = carry
-        c, z = inp
+        c, z, e = inp
         t = jnp.broadcast_to(c.timesteps, (x.shape[0],))
-        raw = denoise_fn(x, t).astype(jnp.float32)
+        raw = (denoise_fn(x, t) if extras is None else denoise_fn(x, t, e)).astype(jnp.float32)
         m0 = c.a_conv * x + c.b_conv * raw
         if thresholding:
             if eps_space:
@@ -546,7 +552,7 @@ def sample(
         return (x_new, m0, m1), None
 
     (x, _, _), _ = jax.lax.scan(
-        step, (x_init, jnp.zeros_like(x_init), jnp.zeros_like(x_init)), (coeffs, z_seq)
+        step, (x_init, jnp.zeros_like(x_init), jnp.zeros_like(x_init)), (coeffs, z_seq, extras)
     )
     return x
 
@@ -560,17 +566,29 @@ def cfg_sample(
     x_init: jnp.ndarray,
     key: Optional[jax.Array] = None,
     noise: Optional[jnp.ndarray] = None,
+    extras=None,
 ) -> jnp.ndarray:
     """Classifier-free-guided solve (reference sample_speech_tokens,
     modeling_vibevoice_inference.py:697-710): the head runs on a 2B batch of
-    [cond; uncond] and the guided output drives a single solver trajectory."""
+    [cond; uncond] and the guided output drives a single solver trajectory.
+
+    With `extras` (per-step (N, ...) pytree, e.g. hoisted AdaLN modulations
+    for the 2B batch), head_fn is called as head_fn(x2, t2, extra_slice)."""
     both = jnp.concatenate([cond, uncond], axis=0)
 
-    def denoise(x, t):
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        out = head_fn(x2, t2, both)
-        c, u = jnp.split(out, 2, axis=0)
-        return u + cfg_scale * (c - u)
+    if extras is None:
+        def denoise(x, t):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            out = head_fn(x2, t2, both)
+            c, u = jnp.split(out, 2, axis=0)
+            return u + cfg_scale * (c - u)
+    else:
+        def denoise(x, t, e):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            out = head_fn(x2, t2, e)
+            c, u = jnp.split(out, 2, axis=0)
+            return u + cfg_scale * (c - u)
 
-    return sample(coeffs, denoise, x_init, key, noise=noise)
+    return sample(coeffs, denoise, x_init, key, noise=noise, extras=extras)
