@@ -11,6 +11,8 @@ tests/test_flash_attention.py and tests/test_generate.py), batch 1 — the
 repo's best honest single-stream serving config. Env overrides:
 
   BENCH_BF16=1           bench the bf16 path instead of int8
+  BENCH_KV_INT8=1        int8 KV cache (per-row scales; halves KV HBM bytes —
+                         the 7B @ 32K single-chip config)
   BENCH_BATCH=N          batch size (default 1)
   BENCH_MAX_LEN=N        KV cache length (default 4096; 65536 = 64K config)
   BENCH_PREFILL=N        ALSO run an N-token chunked prefill and fold its
@@ -96,7 +98,8 @@ def _load(cfg_name="qwen2.5_1.5b_64k.json", lm_int8_inline=False):
 
 
 def run_decode(
-    cfg, params, *, batch, max_len, ddpm_steps=10, frames_per_dispatch=8, steps=32, fill=0
+    cfg, params, *, batch, max_len, ddpm_steps=10, frames_per_dispatch=8, steps=32, fill=0,
+    kv_int8=False,
 ):
     """Steady-state decode RTF (audio-sec per wall-sec per chip).
 
@@ -113,11 +116,12 @@ def run_decode(
     dtype = jnp.bfloat16
     tokens = inf.SpecialTokens()
     opts = inf.GenerateOptions(
-        ddpm_steps=ddpm_steps, max_length=max_len, frames_per_dispatch=frames_per_dispatch
+        ddpm_steps=ddpm_steps, max_length=max_len, frames_per_dispatch=frames_per_dispatch,
+        kv_int8=kv_int8,
     )
     step = inf.make_multi_step_fn(cfg, tokens, opts, frames_per_dispatch)
 
-    cache = qwen2.make_cache(cfg.decoder_config, 2 * batch, max_len, dtype)
+    cache = qwen2.make_cache(cfg.decoder_config, 2 * batch, max_len, dtype, quantized=kv_int8)
     if fill:
         # positive rows at `fill`; negative rows stay short (they reset at
         # segment starts, so their live prefix is frames-since-speech_start)
@@ -157,7 +161,7 @@ def run_decode(
     return audio_sec / wall, wall / (n_dispatch * frames_per_dispatch)
 
 
-def run_prefill(cfg, params, *, prompt_len, max_len, chunk=2048):
+def run_prefill(cfg, params, *, prompt_len, max_len, chunk=2048, kv_int8=False):
     """Chunked-prefill wall time for a prompt_len prompt (64K long-form)."""
     import numpy as np
     import jax
@@ -172,7 +176,8 @@ def run_prefill(cfg, params, *, prompt_len, max_len, chunk=2048):
 
     def go():
         carry = inf.chunked_prefill(
-            cfg, params, jnp.asarray(ids, jnp.int32), valid, max_len, tokens, key, chunk=chunk
+            cfg, params, jnp.asarray(ids, jnp.int32), valid, max_len, tokens, key, chunk=chunk,
+            kv_int8=kv_int8,
         )
         np.asarray(carry.h_pos).sum()
         return carry
@@ -213,21 +218,26 @@ def main():
         # (int8 weights iff the LM is int8)
         params = vv.fuse_for_serving(params, cfg, quantize=use_int8)
 
+    kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"
     kw = dict(max_len=max_len, ddpm_steps=ddpm_steps,
-              frames_per_dispatch=frames_per_dispatch, steps=steps)
+              frames_per_dispatch=frames_per_dispatch, steps=steps, kv_int8=kv_int8)
     fill = int(os.environ.get("BENCH_FILL", "0"))
     rtf, step_time = run_decode(cfg, params, batch=batch, fill=fill, **kw)
 
     prefill_len = int(os.environ.get("BENCH_PREFILL", "0"))
     lines = []
     suffix = "" if use_int8 else "_bf16"
+    if kv_int8:
+        suffix += "_kv8"
     if fill:
         suffix += f"_fill{fill}"
     if prefill_len:
         # long-form: fold an N-token prompt prefill into the RTF of a
         # generation that fills the remaining cache with speech frames;
         # decode is costed at the run's midpoint fill level
-        prefill_wall = run_prefill(cfg, params, prompt_len=prefill_len, max_len=max_len)
+        prefill_wall = run_prefill(
+            cfg, params, prompt_len=prefill_len, max_len=max_len, kv_int8=kv_int8
+        )
         mid_fill = (prefill_len + max_len) // 2
         _, mid_step = run_decode(cfg, params, batch=batch, fill=mid_fill, **kw)
         gen_frames = max_len - prefill_len

@@ -71,6 +71,7 @@ class GenerateOptions:
     sde: bool = False
     frames_per_dispatch: int = 1  # >1 scans K frames per device dispatch
     prefill_chunk: int = 2048  # prompts longer than this prefill in chunks
+    kv_int8: bool = False  # int8 KV cache with per-row scales (qwen2.make_cache)
 
 
 class DecodeCarry(NamedTuple):
@@ -112,7 +113,7 @@ class GenerationOutput:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 3, 6, 7, 9), donate_argnums=())
+@partial(jax.jit, static_argnums=(0, 3, 6, 7, 9, 10), donate_argnums=())
 def prefill_fn(
     cfg: VibeVoiceConfig,
     params,
@@ -124,6 +125,7 @@ def prefill_fn(
     tokens: SpecialTokens,
     key,
     speech_type: str = "audio",
+    kv_int8: bool = False,
 ):
     """Full-prompt prefill for both streams. Returns the initial DecodeCarry."""
     b, t = ids.shape
@@ -138,7 +140,7 @@ def prefill_fn(
         )
         embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
 
-    pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype, quantized=kv_int8)
     h, pos_cache = qwen2.forward(lm_cfg, params["lm"], embeds, valid_mask=valid_mask, cache=pos_cache)
     last = jnp.maximum(jnp.sum(valid_mask.astype(jnp.int32), axis=1) - 1, 0)
     h_pos = h[jnp.arange(b), last]
@@ -146,7 +148,7 @@ def prefill_fn(
     # negative stream: 1-token <speech_start> prompt (reference :379-386)
     neg_ids = jnp.full((b, 1), tokens.speech_start, jnp.int32)
     neg_embeds = qwen2.embed_tokens(params["lm"], neg_ids)
-    neg_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    neg_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype, quantized=kv_int8)
     h_neg, neg_cache = qwen2.forward(lm_cfg, params["lm"], neg_embeds, cache=neg_cache)
 
     dec_state = tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype)
@@ -164,24 +166,30 @@ def prefill_fn(
 
 def _combine_caches(pos: qwen2.KVCache, neg: qwen2.KVCache) -> qwen2.KVCache:
     """Stack the two streams row-wise into one 2B cache (one-time copy)."""
+    cat = lambda a, b: tuple(jnp.concatenate([x, y], axis=0) for x, y in zip(a, b))
     return qwen2.KVCache(
-        k=tuple(jnp.concatenate([pk, nk], axis=0) for pk, nk in zip(pos.k, neg.k)),
-        v=tuple(jnp.concatenate([pv, nv], axis=0) for pv, nv in zip(pos.v, neg.v)),
+        k=cat(pos.k, neg.k),
+        v=cat(pos.v, neg.v),
         length=jnp.concatenate([pos.length, neg.length]),
+        k_scale=cat(pos.k_scale, neg.k_scale) if pos.k_scale is not None else None,
+        v_scale=cat(pos.v_scale, neg.v_scale) if pos.v_scale is not None else None,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5))
-def _prefill_init_fn(cfg: VibeVoiceConfig, params, ids_shape_b, max_len: int, key, tokens: SpecialTokens):
+@partial(jax.jit, static_argnums=(0, 3, 5, 6))
+def _prefill_init_fn(
+    cfg: VibeVoiceConfig, params, ids_shape_b, max_len: int, key, tokens: SpecialTokens,
+    kv_int8: bool = False,
+):
     """Allocate caches + negative-stream prefill + conv states (the
     T-independent part of prefill, shared by the chunked path)."""
     b = ids_shape_b.shape[0]
     lm_cfg = cfg.decoder_config
     dtype = params["lm"]["embed"].dtype
-    pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    pos_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype, quantized=kv_int8)
     neg_ids = jnp.full((b, 1), tokens.speech_start, jnp.int32)
     neg_embeds = qwen2.embed_tokens(params["lm"], neg_ids)
-    neg_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype)
+    neg_cache = qwen2.make_cache(lm_cfg, b, max_len, dtype, quantized=kv_int8)
     h_neg, neg_cache = qwen2.forward(lm_cfg, params["lm"], neg_embeds, cache=neg_cache)
     dec_state = tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype)
     sem_state = tok.init_encoder_state(cfg.semantic_tokenizer_config, b, dtype)
@@ -222,6 +230,7 @@ def chunked_prefill(
     speech_args=None,
     chunk: int = 1024,
     speech_type: str = "audio",
+    kv_int8: bool = False,
 ) -> DecodeCarry:
     """Long-prompt prefill in fixed-size chunks: bounds attention score/mask
     memory at O(chunk x S), enabling 64K prompts (SURVEY.md §5 long-context).
@@ -238,7 +247,7 @@ def chunked_prefill(
 
     lengths = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
     pos_cache, neg_cache, dec_state, sem_state, h_neg = _prefill_init_fn(
-        cfg, params, ids, max_len, key, tokens
+        cfg, params, ids, max_len, key, tokens, kv_int8
     )
     h_pos = jnp.zeros((b, cfg.decoder_config.hidden_size), params["lm"]["embed"].dtype)
 
@@ -546,6 +555,7 @@ def generate(
             speech_args=speech_args if use_speech else None,
             chunk=opts.prefill_chunk,
             speech_type=speech_type,
+            kv_int8=opts.kv_int8,
         )
     else:
         carry = prefill_fn(
@@ -559,6 +569,7 @@ def generate(
             tokens,
             pk,
             speech_type,
+            opts.kv_int8,
         )
 
     inject = noise_bank is not None or forced_tokens is not None

@@ -61,18 +61,32 @@ class KVCache(NamedTuple):
     sliced per layer around the Pallas kernel boundary forces whole-cache
     copies every step. Batch/head lead so the flash kernel's per-(b,h) DMA
     slices touch only the (S, D) tile plane (bf16 sublane tiling constrains
-    the last two dims)."""
+    the last two dims).
+
+    int8 mode (``make_cache(quantized=True)``): k/v buffers are int8 with
+    per-(token, kv-head) row scales stored in ``k_scale``/``v_scale`` as
+    (B, KH, 1, S) float32 — the trailing-S layout lets the flash kernel DMA
+    (1, block_k) scale rows alongside each K/V block. Halves KV HBM bytes
+    (the decode-attention bandwidth term) and puts 7B @ 32K on one v5e."""
 
     k: tuple  # L x (B, KH, S, D)
     v: tuple  # L x (B, KH, S, D)
     length: jnp.ndarray  # (B,) int32 — valid prefix length per sample
+    k_scale: Optional[tuple] = None  # L x (B, KH, 1, S) f32 (int8 mode)
+    v_scale: Optional[tuple] = None
 
     @property
     def max_len(self) -> int:
         return self.k[0].shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
-def make_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+
+def make_cache(
+    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16, *, quantized: bool = False
+) -> KVCache:
     """Mosaic DMA slices need 128-lane alignment on the trailing dim, so
     models with head_dim < 128 (the 0.5B streaming LM's 64-dim heads) get
     their cache lanes zero-padded to 128 when the flash kernel is available;
@@ -83,11 +97,28 @@ def make_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -
     if d % 128 != 0 and _flash_enabled():
         d = -(-d // 128) * 128
     shape = (batch, cfg.num_key_value_heads, max_len, d)
+    nl = cfg.num_hidden_layers
+    buf_dtype = jnp.int8 if quantized else dtype
+    scale_shape = (batch, cfg.num_key_value_heads, 1, max_len)
     return KVCache(
-        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
-        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
+        k=tuple(jnp.zeros(shape, buf_dtype) for _ in range(nl)),
+        v=tuple(jnp.zeros(shape, buf_dtype) for _ in range(nl)),
         length=jnp.zeros((batch,), jnp.int32),
+        k_scale=tuple(jnp.zeros(scale_shape, jnp.float32) for _ in range(nl)) if quantized else None,
+        v_scale=tuple(jnp.zeros(scale_shape, jnp.float32) for _ in range(nl)) if quantized else None,
     )
+
+
+def quantize_kv_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize (B, W, KH, D) to int8 with per-(b, w, kh) row scales.
+
+    Returns (q int8 (B, W, KH, D), scale f32 (B, W, KH)) with
+    ``q * scale ≈ x``; all-zero rows get scale 0 (dequantizes to zero)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    inv = jnp.where(amax > 0, 127.0 / jnp.maximum(amax, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(xf * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, amax / 127.0
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +247,21 @@ def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarra
     return jax.vmap(one)(cache_layer, new, offsets)
 
 
+def _write_scale(scale_layer: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Write (B, W, KH) row scales into (B, KH, 1, S) at per-sample offsets."""
+    new = new.transpose(0, 2, 1)[:, :, None, :]  # (B, KH, 1, W)
+
+    def one(buf, chunk, off):
+        return jax.lax.dynamic_update_slice(buf, chunk, (0, 0, off))
+
+    return jax.vmap(one)(scale_layer, new, offsets)
+
+
+def _dequantize_kv(buf: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(B, KH, S, D) int8 + (B, KH, 1, S) f32 -> dequantized (B, KH, S, D)."""
+    return (buf.astype(jnp.float32) * jnp.swapaxes(scale, 2, 3)).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -235,30 +281,46 @@ def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None, flash=Fal
     k = apply_rope(k, cos, sin)
 
     if cache_kv is not None:
-        ck, cv = cache_kv
+        ck, cv, cks, cvs = cache_kv
         d_c = ck.shape[-1]
         if d_c != d:  # lane-padded cache (head_dim < 128; see make_cache)
             padw = ((0, 0), (0, 0), (0, 0), (0, d_c - d))
             q = jnp.pad(q, padw)
             k = jnp.pad(k, padw)
             v = jnp.pad(v, padw)
-        ck = _write_cache(ck, k.astype(ck.dtype), offsets)
-        cv = _write_cache(cv, v.astype(cv.dtype), offsets)
+        if cks is not None:  # int8 cache: quantize the chunk row-wise
+            kq, ks_new = quantize_kv_rows(k)
+            vq, vs_new = quantize_kv_rows(v)
+            ck = _write_cache(ck, kq, offsets)
+            cv = _write_cache(cv, vq, offsets)
+            cks = _write_scale(cks, ks_new, offsets)
+            cvs = _write_scale(cvs, vs_new, offsets)
+        else:
+            ck = _write_cache(ck, k.astype(ck.dtype), offsets)
+            cv = _write_cache(cv, v.astype(cv.dtype), offsets)
         if flash:
             from ..ops.flash_attention import flash_cached_attention
 
             attn = flash_cached_attention(
-                q, ck.astype(q.dtype), cv.astype(q.dtype), offsets,
+                q,
+                ck if cks is not None else ck.astype(q.dtype),
+                cv if cks is not None else cv.astype(q.dtype),
+                offsets,
+                k_scale=cks,
+                v_scale=cvs,
                 scale=d**-0.5,
                 interpret=jax.default_backend() == "cpu",
             )
         else:
-            attn = _attention_cached(
-                q, ck.astype(q.dtype), cv.astype(q.dtype), mask, scale=d**-0.5
-            )
+            if cks is not None:
+                k_full = _dequantize_kv(ck, cks, q.dtype)
+                v_full = _dequantize_kv(cv, cvs, q.dtype)
+            else:
+                k_full, v_full = ck.astype(q.dtype), cv.astype(q.dtype)
+            attn = _attention_cached(q, k_full, v_full, mask, scale=d**-0.5)
         if d_c != d:
             attn = attn[..., :d]
-        new_cache = (ck, cv)
+        new_cache = (ck, cv, cks, cvs)
     else:
         attn = _attention_masked(q, k, v, mask)
         new_cache = None
@@ -344,23 +406,25 @@ def forward(
 
     lo, hi = layer_range if layer_range is not None else (0, cfg.num_hidden_layers)
     x = embeds
-    new_k, new_v = None, None
+    new_k, new_v, new_ks, new_vs = None, None, None, None
     if cache is not None:
         new_k = list(cache.k)
         new_v = list(cache.v)
+        quant = cache.k_scale is not None
+        new_ks = list(cache.k_scale) if quant else [None] * len(new_k)
+        new_vs = list(cache.v_scale) if quant else [None] * len(new_v)
     for li in range(lo, hi):
         # note: layer_range uses LOCAL layer params (split streaming stacks
         # pass their own param trees), so cache index == li - lo when the
         # cache belongs to the sub-stack; full-model callers use lo=0.
         ci = li - lo
-        cache_kv = (new_k[ci], new_v[ci]) if cache is not None else None
+        cache_kv = (new_k[ci], new_v[ci], new_ks[ci], new_vs[ci]) if cache is not None else None
         x, updated = _layer(
             cfg, params["layers"][li], x, cos, sin, mask=mask, cache_kv=cache_kv,
             offsets=offsets, flash=flash,
         )
         if cache is not None:
-            new_k[ci] = updated[0]
-            new_v[ci] = updated[1]
+            new_k[ci], new_v[ci], new_ks[ci], new_vs[ci] = updated
 
     if not skip_final_norm:
         x = rms_norm(x, params["final_norm"]["w"], cfg.rms_norm_eps)
@@ -368,7 +432,13 @@ def forward(
     if cache is not None:
         if advance is None:
             advance = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
-        return x, KVCache(k=tuple(new_k), v=tuple(new_v), length=cache.length + advance)
+        return x, KVCache(
+            k=tuple(new_k),
+            v=tuple(new_v),
+            length=cache.length + advance,
+            k_scale=tuple(new_ks) if quant else None,
+            v_scale=tuple(new_vs) if quant else None,
+        )
     return x, None
 
 

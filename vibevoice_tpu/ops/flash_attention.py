@@ -19,13 +19,14 @@ the G query heads of a KV group into rows of one matmul.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = int(os.environ.get("FLASH_BLOCK_K", "512"))
 NEG_INF = -1e30
 
 
@@ -38,6 +39,8 @@ def flash_cached_attention(
     v_cache: jnp.ndarray,
     base_lens: jnp.ndarray,  # (B,) int32
     *,
+    k_scale: jnp.ndarray | None = None,  # (B, KH, 1, S) f32 — int8 cache rows
+    v_scale: jnp.ndarray | None = None,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
     scale: float | None = None,
@@ -49,12 +52,21 @@ def flash_cached_attention(
     horizon, so a full prefill does the triangular amount of work.
 
     `scale` overrides the D**-0.5 softmax scale (needed when inputs are
-    lane-padded from a smaller true head_dim; see qwen2.make_cache)."""
+    lane-padded from a smaller true head_dim; see qwen2.make_cache).
+
+    int8 caches: pass ``k_scale``/``v_scale`` (per-key-row dequant scales in
+    the trailing-S layout qwen2.make_cache allocates). The kernel streams the
+    int8 blocks (half the HBM bytes of bf16 — decode attention is
+    bandwidth-bound) and folds the scales in exactly: K's scale multiplies
+    score columns post-matmul, V's scale multiplies the softmax probabilities
+    before the PV matmul — both algebraically identical to dequantizing the
+    block first."""
     b, w, nh, d = q.shape
     kh, s = k_cache.shape[1], k_cache.shape[2]
     g = nh // kh
     r = w * g
     scale = d**-0.5 if scale is None else scale
+    quant = k_scale is not None
 
     if s % block_k != 0:
         raise ValueError(f"cache length {s} must be a multiple of block_k={block_k}")
@@ -67,7 +79,10 @@ def flash_cached_attention(
     if r_pad != r:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
 
-    kernel = functools.partial(_kernel_zeroed, w=w, g=g, block_k=block_k, scale=scale, qb=qb)
+    kernel = functools.partial(
+        _kernel_zeroed, w=w, g=g, block_k=block_k, scale=scale, qb=qb, quant=quant
+    )
+    n_any = 4 if quant else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, kh, n_qb),
@@ -75,24 +90,31 @@ def flash_cached_attention(
             pl.BlockSpec(
                 (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_any)],
         out_specs=pl.BlockSpec(
             (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
         ),
     )
+    operands = (base_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    if quant:
+        operands += (k_scale, v_scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kh, r_pad, d), q.dtype),
         interpret=interpret,
-    )(base_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    )(*operands)
     out = out[:, :, :r]
     return out.reshape(b, kh, w, g, d).transpose(0, 2, 1, 3, 4).reshape(b, w, nh, d)
 
 
-def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale, qb):
+def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, qb, quant):
+    if quant:
+        ks_hbm, vs_hbm, o_ref = rest
+    else:
+        (o_ref,) = rest
+        ks_hbm = vs_hbm = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
@@ -101,7 +123,7 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale
     d = q_ref.shape[-1]
     row0 = qi * qb  # global first row of this tile
 
-    def run(kb_scr, vb_scr, sem, acc_scr, m_scr, l_scr):
+    def run(kb_scr, vb_scr, ks_scr, vs_scr, sem, acc_scr, m_scr, l_scr):
         acc_scr[...] = jnp.zeros_like(acc_scr)
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -116,7 +138,7 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale
 
         def get_dma(slot, kb):
             start = kb * block_k
-            return (
+            dmas = (
                 pltpu.make_async_copy(
                     k_hbm.at[b, h, pl.ds(start, block_k), :], kb_scr.at[slot], sem.at[slot, 0]
                 ),
@@ -124,10 +146,19 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale
                     v_hbm.at[b, h, pl.ds(start, block_k), :], vb_scr.at[slot], sem.at[slot, 1]
                 ),
             )
+            if quant:
+                dmas += (
+                    pltpu.make_async_copy(
+                        ks_hbm.at[b, h, :, pl.ds(start, block_k)], ks_scr.at[slot], sem.at[slot, 2]
+                    ),
+                    pltpu.make_async_copy(
+                        vs_hbm.at[b, h, :, pl.ds(start, block_k)], vs_scr.at[slot], sem.at[slot, 3]
+                    ),
+                )
+            return dmas
 
-        dk0, dv0 = get_dma(0, 0)
-        dk0.start()
-        dv0.start()
+        for dma in get_dma(0, 0):
+            dma.start()
 
         def body(kb, _):
             slot = kb % 2
@@ -135,19 +166,19 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale
 
             @pl.when(kb + 1 < nblocks)
             def _():
-                ndk, ndv = get_dma(nxt, kb + 1)
-                ndk.start()
-                ndv.start()
+                for dma in get_dma(nxt, kb + 1):
+                    dma.start()
 
-            dk, dv = get_dma(slot, kb)
-            dk.wait()
-            dv.wait()
+            for dma in get_dma(slot, kb):
+                dma.wait()
 
             kblk = kb_scr[slot].astype(jnp.float32)
             vblk = vb_scr[slot].astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
+            if quant:
+                s = s * ks_scr[slot]  # (1, block_k) key-row dequant scales
             jcol = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (r, block_k), 1)
             s = jnp.where(jcol <= row_pos, s, NEG_INF)
 
@@ -156,8 +187,9 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m_prev - m_new)
             l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+            pv = p * vs_scr[slot] if quant else p  # value-row dequant scales
             acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-                p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                pv, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             m_scr[:, :1] = m_new
             return 0
@@ -165,11 +197,14 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, o_ref, *, w, g, block_k, scale
         jax.lax.fori_loop(0, nblocks, body, 0)
         o_ref[0, 0] = (acc_scr[...] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
 
+    scale_scr = pltpu.VMEM((2, 1, block_k), jnp.float32) if quant else pltpu.VMEM((2, 1, 128), jnp.float32)
     pl.run_scoped(
         run,
         kb_scr=pltpu.VMEM((2, block_k, d), k_hbm.dtype),
         vb_scr=pltpu.VMEM((2, block_k, d), v_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((2, 2)),
+        ks_scr=scale_scr,
+        vs_scr=scale_scr,
+        sem=pltpu.SemaphoreType.DMA((2, 4)),
         acc_scr=pltpu.VMEM((r, d), jnp.float32),
         m_scr=pltpu.VMEM((r, 128), jnp.float32),
         l_scr=pltpu.VMEM((r, 128), jnp.float32),
