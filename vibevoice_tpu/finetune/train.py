@@ -68,6 +68,15 @@ def parse_args():
                     help="log CE token counts / max / argmax accuracy every N steps "
                     "(reference debug_ce_details)")
     ap.add_argument("--resume_from_checkpoint", type=str, default=None)
+    ap.add_argument("--mesh_dcn", type=int, default=1,
+                    help="data-parallel replicas across slices/hosts (DCN axis)")
+    ap.add_argument("--mesh_dp", type=int, default=1, help="in-slice data parallelism (ICI)")
+    ap.add_argument("--mesh_tp", type=int, default=1, help="in-slice tensor parallelism (ICI)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="call jax.distributed.initialize() (run one process per host)")
+    ap.add_argument("--checkpoint_format", type=str, default="pickle",
+                    choices=["pickle", "orbax"],
+                    help="orbax = sharded multi-host checkpoints (utils/checkpoint.py)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--report_to", type=str, default=None, choices=[None, "wandb"],
                     help="metric sink (reference routes Trainer logs to wandb)")
@@ -90,6 +99,11 @@ def synthetic_dataset(n: int = 64, seed: int = 0, min_dur: float = 1.0, max_dur:
 def main():
     args = parse_args()
     import jax
+
+    if args.multihost:
+        # one process per host; JAX wires the coordination service from the
+        # TPU pod metadata (multi-slice: DCN across slices)
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from ..configs import tiny_config
@@ -127,6 +141,20 @@ def main():
             tokenizer=FallbackTextTokenizer(),
             speech_tok_compress_ratio=cfg.acoustic_tokenizer_config.hop_length,
         )
+
+    # ---- device mesh (DCN x DP x TP) -----------------------------------
+    mesh = None
+    n_data_shards = 1
+    if args.mesh_dcn * args.mesh_dp * args.mesh_tp > 1:
+        from ..parallel import mesh as pmesh
+
+        if args.mesh_dcn > 1:
+            mesh = pmesh.make_hybrid_mesh(dcn=args.mesh_dcn, dp=args.mesh_dp, tp=args.mesh_tp)
+        else:
+            mesh = pmesh.make_mesh(dp=args.mesh_dp, tp=args.mesh_tp)
+        params = pmesh.shard_params(params, pmesh.model_param_shardings(params, mesh))
+        n_data_shards = args.mesh_dcn * args.mesh_dp
+        print(f"mesh: {dict(mesh.shape)} ({n_data_shards} data shards)")
 
     smoke = args.model_path is None
     if args.dataset_jsonl:
@@ -210,11 +238,20 @@ def main():
     ema = init_ema(params["diffusion_head"])
     start_step = 0
     if args.resume_from_checkpoint:
-        with open(os.path.join(args.resume_from_checkpoint, "train_state.pkl"), "rb") as f:
-            blob = pickle.load(f)
-        state = jax.tree.map(jnp.asarray, blob["state"])
-        ema = jax.tree.map(jnp.asarray, blob["ema"])
-        start_step = int(blob["step"])
+        if args.checkpoint_format == "orbax":
+            from ..utils.checkpoint import restore_train_state
+
+            blob = restore_train_state(
+                os.path.join(args.resume_from_checkpoint, "orbax"),
+                {"state": state, "ema": ema, "step": np.zeros((), np.int32)},
+            )
+            state, ema, start_step = blob["state"], blob["ema"], int(blob["step"])
+        else:
+            with open(os.path.join(args.resume_from_checkpoint, "train_state.pkl"), "rb") as f:
+                blob = pickle.load(f)
+            state = jax.tree.map(jnp.asarray, blob["state"])
+            ema = jax.tree.map(jnp.asarray, blob["ema"])
+            start_step = int(blob["step"])
         print(f"Resumed from step {start_step}")
 
     wandb_run = None
@@ -228,7 +265,7 @@ def main():
             print("wandb not installed; falling back to stdout logging")
 
     key = jax.random.PRNGKey(args.seed + 2)
-    bs = args.per_device_batch_size
+    bs = args.per_device_batch_size * n_data_shards  # global batch
 
     # startup tokenizer/CE smoke test (reference train_vibevoice.py:344-362):
     # one collated batch must produce a finite CE before burning train time
@@ -256,9 +293,21 @@ def main():
     def save(step):
         out = os.path.join(args.output_dir, f"checkpoint-{step}")
         os.makedirs(out, exist_ok=True)
-        host_state = jax.tree.map(np.asarray, state)
-        with open(os.path.join(out, "train_state.pkl"), "wb") as f:
-            pickle.dump({"state": host_state, "ema": jax.tree.map(np.asarray, ema), "step": step}, f)
+        if args.checkpoint_format == "orbax":
+            # sharded multi-host save: every host writes only the shards it
+            # owns; no full-model host gather (7B+ safe)
+            from ..utils.checkpoint import save_train_state
+
+            save_train_state(
+                os.path.join(out, "orbax"),
+                {"state": state, "ema": ema, "step": np.asarray(step, np.int32)},
+            )
+        else:
+            host_state = jax.tree.map(np.asarray, state)
+            with open(os.path.join(out, "train_state.pkl"), "wb") as f:
+                pickle.dump(
+                    {"state": host_state, "ema": jax.tree.map(np.asarray, ema), "step": step}, f
+                )
         if args.use_lora:
             save_lora_assets(os.path.join(out, "lora"), state.params, lora_cfg)
         else:
@@ -282,6 +331,10 @@ def main():
         if len(idx) < bs:
             idx = order[:bs]
         batch = collator([dataset[int(i)] for i in idx])
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            batch = jax.device_put(batch, pmesh.batch_shardings(mesh, batch))
         key, sk = jax.random.split(key)
         if args.use_lora:
             state, out = step_fn(state, params, batch, sk)

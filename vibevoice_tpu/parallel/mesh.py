@@ -30,6 +30,36 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def make_hybrid_mesh(dcn: int = 1, dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    """Multi-slice mesh for multi-host training: axes ("dcn", "dp", "tp").
+
+    "dcn" is the slow inter-slice axis — only pure data parallelism rides it
+    (batch sharding + the once-per-run speech-stats reduction); "dp"/"tp" stay
+    within a slice over ICI, exactly like make_mesh. On real multi-slice
+    systems `mesh_utils.create_hybrid_device_mesh` orders devices so the dcn
+    axis crosses slices; on flat/virtual device sets (tests, single slice) a
+    plain reshape is used — the axis semantics are identical.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = dcn * dp * tp
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (dp, tp), dcn_mesh_shape=(dcn, 1), devices=devices[:n]
+        ).reshape(dcn, dp, tp)
+    except Exception:  # virtual CPU meshes have no slice topology
+        arr = np.asarray(devices[:n]).reshape(dcn, dp, tp)
+    return Mesh(arr, ("dcn", "dp", "tp"))
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """The mesh axes a batch's leading dim shards over (dcn first, then dp)."""
+    return tuple(a for a in ("dcn", "dp") if a in mesh.shape)
+
+
 def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
@@ -71,9 +101,10 @@ def model_param_shardings(params: Dict, mesh: Mesh) -> Dict:
 
 
 def batch_shardings(mesh: Mesh, batch_tree) -> Dict:
-    """Shard every batch leaf on its leading (batch) axis over dp."""
-    dp = _ns(mesh, "dp")
-    return jax.tree.map(lambda _: dp, batch_tree)
+    """Shard every batch leaf on its leading (batch) axis over the data axes
+    (("dcn", "dp") on a hybrid mesh, "dp" otherwise)."""
+    sh = _ns(mesh, data_axes(mesh))
+    return jax.tree.map(lambda _: sh, batch_tree)
 
 
 def shard_params(params: Dict, shardings: Dict) -> Dict:
