@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--device_dtype", type=str, default="bfloat16")
     ap.add_argument("--frames_per_dispatch", type=int, default=8)
     ap.add_argument("--int8", action="store_true", help="weight-only int8 serving mode")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache (halves cache memory; for long max_length)")
     ap.add_argument("--random_weights", action="store_true",
                     help="random-init the FULL-SIZE model (pipeline validation without a checkpoint)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -172,6 +174,7 @@ def main():
         # file mode tolerates ~1 s of delivery granularity; scanning 8 frames
         # per dispatch amortises host round-trips (README perf table)
         frames_per_dispatch=args.frames_per_dispatch,
+        kv_int8=args.kv_int8,
     )
 
     t0 = time.time()

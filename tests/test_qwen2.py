@@ -152,3 +152,27 @@ class TestGoldenVsHF:
             ref = hf_model(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
         h, _ = qwen2.forward(TINY, params, qwen2.embed_tokens(params, jnp.asarray(ids)))
         np.testing.assert_allclose(np.asarray(h), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_projections_match_unpacked():
+    """pack_lm_projections (serving prep): packed int8 qkv/gateup forward
+    equals the unpacked int8 forward exactly (per-column scales are preserved
+    under concatenation)."""
+    import jax
+    import jax.numpy as jnp
+    from vibevoice_tpu.ops.quant import pack_lm_projections, quantize_lm
+
+    params = qwen2.init(jax.random.PRNGKey(3), TINY)
+    qparams = quantize_lm(params, quantize_lm_head=False)
+    packed = pack_lm_projections(qparams)
+    assert "qkv" in packed["layers"][0]["attn"]
+    assert "q" not in packed["layers"][0]["attn"]
+    assert "gateup" in packed["layers"][0]["mlp"]
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, TINY.hidden_size), jnp.float32)
+    cache_a = qwen2.make_cache(TINY, 2, 32, dtype=jnp.float32)
+    cache_b = qwen2.make_cache(TINY, 2, 32, dtype=jnp.float32)
+    ha, _ = qwen2.forward(TINY, qparams, x, cache=cache_a)
+    hb, _ = qwen2.forward(TINY, packed, x, cache=cache_b)
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))

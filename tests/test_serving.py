@@ -172,3 +172,30 @@ def test_http_server_whole_and_chunked_stream():
     finally:
         server.shutdown()
         server.engine.shutdown()
+
+
+def test_engine_kv_int8():
+    """The engine runs with an int8 KV cache (quantized make_cache, scale
+    splicing in _join_slot) and serves concurrent requests to completion."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128, kv_int8=True),
+        max_batch=2,
+        max_len=128,
+    )
+    try:
+        import jax.numpy as jnp
+
+        assert eng.carry.cache.k[0].dtype == jnp.int8
+        handles = [eng.submit(_make_request(i)) for i in range(3)]
+        for h in handles:
+            audio = h.result(timeout=240)
+            assert len(audio) % HOP == 0
+            assert np.isfinite(audio).all()
+    finally:
+        eng.shutdown()

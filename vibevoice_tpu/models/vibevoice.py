@@ -135,11 +135,23 @@ def fuse_vocoder(params: Params, cfg: VibeVoiceConfig, quantize: bool = True) ->
 
 def fuse_for_serving(params: Params, cfg: VibeVoiceConfig, quantize: bool = True) -> Params:
     """All serving-prep packs: fused vocoder stages + fused diffusion-head
-    FFN stack (pairs with the hoisted AdaLN path in models/inference.py)."""
+    FFN stack (pairs with the hoisted AdaLN path in models/inference.py) +
+    packed int8 qkv/gateup LM projections (ops/quant.pack_lm_projections)."""
     out = fuse_vocoder(params, cfg, quantize)
     out["diffusion_head"] = dh.fuse_head(
         params["diffusion_head"], cfg.diffusion_head_config, quantize
     )
+    import os
+
+    if (
+        quantize
+        and os.environ.get("LM_PACK") == "1"  # measured NEUTRAL-to-NEGATIVE at bs1; off by default
+        and out["lm"]["layers"]
+        and "w8" in out["lm"]["layers"][0]["attn"].get("q", {})
+    ):
+        from ..ops.quant import pack_lm_projections
+
+        out["lm"] = pack_lm_projections(out["lm"])
     return out
 
 

@@ -34,6 +34,32 @@ from .vocoder_fused import PackedStage
 CHUNK_F = 1536
 
 
+def _pick_chunk_f(dim: int, hid: int, itemsize: int) -> int:
+    """FFN chunk size bounded by VMEM: each grid step holds wg+wu (dim, cf)
+    and wd (cf, dim) blocks, double-buffered by the pipeline, against the
+    ~16 MB scoped-VMEM limit. 1536 fits the 1.5B head (dim 1536); the 7B
+    head (dim 3584, hid 10752) needs smaller chunks or Mosaic refuses to
+    compile (scoped vmem OOM)."""
+    import os
+
+    forced = int(os.environ.get("HEAD_CHUNK_F", "0"))
+    if forced:
+        return forced
+    budget = 8 * 1024 * 1024  # single-buffer bytes for the 3 weight blocks
+    if dim > 2048:
+        # Mosaic's scoped-VMEM accounting at large dims also charges the
+        # in-kernel dequant copies: dim 3584 measured 16.09M at cf 512
+        # (over the 16M limit); 384 fits
+        budget = 5 * 1024 * 1024
+    for cf in (CHUNK_F, 1024, 768, 512, 384, 256, 128, hid):
+        if cf <= hid and hid % cf == 0 and 3 * dim * cf * itemsize <= budget:
+            return cf
+    cf = hid  # tiny models: shrink by halving until it fits
+    while 3 * dim * cf * itemsize > budget and cf % 2 == 0:
+        cf //= 2
+    return cf
+
+
 def pack_head_ffns(layers: List[Dict], eps: float, quantize: bool = False) -> PackedStage:
     """Stack the head layers' norm + FFN params into kernel-ready arrays
     (adaln weights stay OUTSIDE — they are consumed by the hoisted
@@ -130,7 +156,7 @@ def fused_head_ffn_stack(
         x = jnp.pad(x, ((0, rows - b_), (0, 0)))
         mods = jnp.pad(mods, ((0, 0), (0, rows - b_), (0, 0)))
 
-    cf = min(CHUNK_F, hid)
+    cf = min(_pick_chunk_f(dim, hid, 1 if packed.quantized else x.dtype.itemsize), hid)
     assert hid % cf == 0, (hid, cf)
     n_chunks = hid // cf
     if packed.quantized:

@@ -148,6 +148,44 @@ def quantize_lm(lm_params: Dict, quantize_lm_head: bool = True) -> Dict:
     return out
 
 
+def pack_lm_projections(lm_params: Dict) -> Dict:
+    """Serving-prep: concatenate each layer's int8 q|k|v into one "qkv" and
+    gate|up into one "gateup" (output-column axis). Per-column scales make
+    the packed matmuls bit-identical to the separate ones, and the decode
+    step drops from 7 to 4 Pallas launches per layer (launch overhead is a
+    measurable slice of the bs1 frame). Consumed by qwen2.project_qkv /
+    mlp_forward; originals are removed to keep one int8 copy in HBM."""
+
+    def cat(parts, with_bias):
+        p = {
+            "w8": jnp.concatenate([x["w8"] for x in parts], axis=1),
+            "scale": jnp.concatenate([x["scale"] for x in parts]),
+        }
+        if with_bias:
+            p["b"] = jnp.concatenate(
+                [x.get("b", jnp.zeros((x["w8"].shape[1],), jnp.bfloat16)) for x in parts]
+            )
+        return p
+
+    out = dict(lm_params)
+    layers = []
+    for layer in lm_params["layers"]:
+        a, m = layer["attn"], layer["mlp"]
+        if "w8" not in a["q"]:  # bf16 layer: XLA fuses these anyway
+            layers.append(layer)
+            continue
+        nl = {**layer, "attn": dict(a), "mlp": dict(m)}
+        nl["attn"]["qkv"] = cat([a["q"], a["k"], a["v"]], with_bias="b" in a["q"])
+        for name in ("q", "k", "v"):
+            del nl["attn"][name]
+        nl["mlp"]["gateup"] = cat([m["gate"], m["up"]], with_bias=False)
+        for name in ("gate", "up"):
+            del nl["mlp"][name]
+        layers.append(nl)
+    out["layers"] = layers
+    return out
+
+
 def mm(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
     """Linear apply dispatching on quantized vs dense weights."""
     if "w8" in p:

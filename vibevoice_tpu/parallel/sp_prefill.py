@@ -35,9 +35,7 @@ def _local_layer(cfg: Qwen2Config, lp, x, cos, sin, q_pos, k_valid, *, axis, n, 
     nh, kh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     res = x
     hdn = rms_norm(x, lp["input_norm"]["w"], cfg.rms_norm_eps)
-    q = qwen2._mm(hdn, lp["attn"]["q"]).reshape(b, t, nh, d)
-    k = qwen2._mm(hdn, lp["attn"]["k"]).reshape(b, t, kh, d)
-    v = qwen2._mm(hdn, lp["attn"]["v"]).reshape(b, t, kh, d)
+    q, k, v = qwen2.project_qkv(lp["attn"], hdn, b, t, nh, kh, d)
     q = qwen2.apply_rope(q, cos, sin)
     k = qwen2.apply_rope(k, cos, sin)
     attn = ring_attention_local(
@@ -47,8 +45,7 @@ def _local_layer(cfg: Qwen2Config, lp, x, cos, sin, q_pos, k_valid, *, axis, n, 
     x = res + qwen2._mm(attn.reshape(b, t, h), lp["attn"]["o"])
     res = x
     hdn = rms_norm(x, lp["post_norm"]["w"], cfg.rms_norm_eps)
-    m = lp["mlp"]
-    x = res + qwen2._mm(jax.nn.silu(qwen2._mm(hdn, m["gate"])) * qwen2._mm(hdn, m["up"]), m["down"])
+    x = res + qwen2.mlp_forward(lp["mlp"], hdn)
     return x, k, v
 
 

@@ -60,10 +60,20 @@ def _join_slot(carry: inf.DecodeCarry, single: inf.DecodeCarry, slot, batch: int
     )
     length = carry.cache.length.at[slot].set(single.cache.length[0])
     length = length.at[batch + slot].set(single.cache.length[1])
+    ks = vs = None
+    if carry.cache.k_scale is not None:  # int8 cache: splice the row scales too
+        ks = tuple(
+            put_row(put_row(cs, ss[:b1], slot), ss[b1:], batch + slot)
+            for cs, ss in zip(carry.cache.k_scale, single.cache.k_scale)
+        )
+        vs = tuple(
+            put_row(put_row(cs, ss[:b1], slot), ss[b1:], batch + slot)
+            for cs, ss in zip(carry.cache.v_scale, single.cache.v_scale)
+        )
     dec_state = jax.tree.map(lambda c, s: put_row(c, s, slot), carry.dec_state, single.dec_state)
     sem_state = jax.tree.map(lambda c, s: put_row(c, s, slot), carry.sem_state, single.sem_state)
     return inf.DecodeCarry(
-        cache=qwen2.KVCache(k=k, v=v, length=length),
+        cache=qwen2.KVCache(k=k, v=v, length=length, k_scale=ks, v_scale=vs),
         dec_state=dec_state,
         sem_state=sem_state,
         h_pos=put_row(carry.h_pos, single.h_pos, slot),
@@ -145,7 +155,9 @@ class ServingEngine:
         dtype = params["lm"]["embed"].dtype
         b = max_batch
         self.carry = inf.DecodeCarry(
-            cache=qwen2.make_cache(cfg.decoder_config, 2 * b, max_len, dtype),
+            cache=qwen2.make_cache(
+                cfg.decoder_config, 2 * b, max_len, dtype, quantized=opts.kv_int8
+            ),
             dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype),
             sem_state=tok.init_encoder_state(cfg.semantic_tokenizer_config, b, dtype),
             h_pos=jnp.zeros((b, cfg.decoder_config.hidden_size), dtype),
@@ -263,6 +275,8 @@ class ServingEngine:
             use_speech,
             self.tokens,
             pk,
+            "audio",
+            self.opts.kv_int8,
         )
         # block here (on the prefill thread) until the device work is done, so
         # the decode loop's splice never inherits a pending prefill dispatch
