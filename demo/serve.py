@@ -88,7 +88,7 @@ def build_server(args):
         tokens=tokens,
         opts=inf.GenerateOptions(
             cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps,
-            max_length=args.max_len,
+            max_length=args.max_len, kv_int8=args.kv_int8,
         ),
         max_batch=args.max_batch,
         max_len=args.max_len,
@@ -218,6 +218,8 @@ def main():
     ap.add_argument("--cfg_scale", type=float, default=1.3)
     ap.add_argument("--ddpm_steps", type=int, default=10)
     ap.add_argument("--int8", action="store_true", help="weight-only int8 serving")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache (halves cache HBM; use for long --max_len)")
     ap.add_argument("--voices_dir", type=str, default=os.path.join(os.path.dirname(__file__), "voices"))
     ap.add_argument("--request_timeout", type=float, default=600.0)
     ap.add_argument("--verbose", action="store_true")

@@ -20,8 +20,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_K = 512
-BLOCK_N = 512
+import os
+
+BLOCK_K = int(os.environ.get("QUANT_BLOCK_K", "512"))
+BLOCK_N = int(os.environ.get("QUANT_BLOCK_N", "512"))
+# "pallas" streams int8 blocks through a custom kernel; "xla" lowers to
+# convert+dot and lets XLA fuse the dequant into the matmul.
+QUANT_IMPL = os.environ.get("QUANT_IMPL", "pallas")
 
 
 def quantize_weight(w: jnp.ndarray, max_chunk_bytes: int = 256 << 20) -> Dict:
@@ -90,7 +95,7 @@ def int8_matmul(
     r_pad = max(8, -(-rows // 8) * 8)
     if r_pad != rows:
         x2 = jnp.pad(x2, ((0, r_pad - rows), (0, 0)))
-    if cin % block_k or cout % block_n:
+    if QUANT_IMPL == "xla" or cin % block_k or cout % block_n:
         # fallback for odd shapes (rare: all model dims are multiples of 512
         # except tiny test configs)
         y = jnp.dot(x2.astype(jnp.bfloat16), (w8.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)))
