@@ -88,7 +88,7 @@ def build_server(args):
         tokens=tokens,
         opts=inf.GenerateOptions(
             cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps,
-            max_length=args.max_len, kv_int8=args.kv_int8,
+            max_length=args.max_len, kv_int8=getattr(args, "kv_int8", False),
         ),
         max_batch=args.max_batch,
         max_len=args.max_len,

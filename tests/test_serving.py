@@ -140,6 +140,7 @@ def test_http_server_whole_and_chunked_stream():
         cfg_scale = 1.3
         ddpm_steps = 2
         int8 = False
+        kv_int8 = False
         voices_dir = "/nonexistent"
         request_timeout = 300.0
         verbose = False
