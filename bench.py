@@ -264,7 +264,14 @@ def main():
         },
     )
 
-    if os.environ.get("BENCH_ALL") == "1":
+    # bs4 throughput line by default (compile-cached after the first run);
+    # BENCH_QUICK=1 skips it, batch/7B/long-form overrides imply quick mode
+    if (
+        os.environ.get("BENCH_QUICK") != "1"
+        and batch == 1
+        and model == "1.5b"
+        and not (fill or prefill_len)
+    ) or os.environ.get("BENCH_ALL") == "1":
         rtf4, _ = run_decode(cfg, params, batch=4, **kw)
         lines.append(
             {
