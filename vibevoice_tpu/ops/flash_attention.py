@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_K = int(os.environ.get("FLASH_BLOCK_K", "0"))  # 0 = adaptive
+DEFAULT_HEAD_FOLD = int(os.environ.get("FLASH_HEAD_FOLD", "0"))  # 0 = adaptive
 
 
 def _pick_block_k(s: int) -> int:
@@ -40,6 +41,24 @@ def _pick_block_k(s: int) -> int:
         if s >= cand * 16 and s % cand == 0:
             return cand
     return 512
+
+
+def _pick_head_fold(kh: int, r: int, block_k: int, d: int, kv_bytes: int) -> int:
+    """How many KV heads one grid cell processes. Decode steps (few query
+    rows) are bound by the per-block-iteration overhead of the K-block loop,
+    not by FLOPs or bytes — folding heads runs `hf` heads' matmuls per loop
+    iteration off one strided DMA, dividing the iteration count by `hf`.
+    Large prefill tiles are matmul-bound and VMEM-hungry, so they stay at 1.
+    Env FLASH_HEAD_FOLD forces a value."""
+    if DEFAULT_HEAD_FOLD:
+        return max(1, min(DEFAULT_HEAD_FOLD, kh))
+    if r > 128:  # prefill tiles: per-iteration overhead already amortized
+        return 1
+    hf = 4 if kh % 4 == 0 else (2 if kh % 2 == 0 else 1)
+    # keep the double-buffered K+V scratch under ~8 MB of the 16 MB VMEM
+    while hf > 1 and 2 * 2 * hf * block_k * d * kv_bytes > (8 << 20):
+        hf //= 2
+    return hf
 NEG_INF = -1e30
 
 
@@ -97,21 +116,23 @@ def flash_cached_attention(
     if r_pad != r:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
 
+    hf = _pick_head_fold(kh, r_pad, block_k, d, 1 if quant else k_cache.dtype.itemsize)
+
     kernel = functools.partial(
-        _kernel_zeroed, w=w, g=g, block_k=block_k, scale=scale, qb=qb, quant=quant
+        _kernel_zeroed, w=w, g=g, block_k=block_k, scale=scale, qb=qb, quant=quant, hf=hf
     )
     n_any = 4 if quant else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, kh, n_qb),
+        grid=(b, kh // hf, n_qb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
+                (1, hf, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
             ),
         ]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_any)],
         out_specs=pl.BlockSpec(
-            (1, 1, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
+            (1, hf, qb, d), lambda i, j, qi, lens: (i, j, qi, 0), memory_space=pltpu.VMEM
         ),
     )
     operands = (base_lens.astype(jnp.int32), qg, k_cache, v_cache)
@@ -127,14 +148,14 @@ def flash_cached_attention(
     return out.reshape(b, kh, w, g, d).transpose(0, 2, 1, 3, 4).reshape(b, w, nh, d)
 
 
-def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, qb, quant):
+def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, qb, quant, hf):
     if quant:
         ks_hbm, vs_hbm, o_ref = rest
     else:
         (o_ref,) = rest
         ks_hbm = vs_hbm = None
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    h0 = pl.program_id(1) * hf  # first KV head of this cell's folded group
     qi = pl.program_id(2)
     base = lens_ref[b]
     r = q_ref.shape[2]  # rows in this q tile
@@ -151,26 +172,30 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, q
         last_q_index = jnp.minimum((row0 + r - 1) // g, w - 1)
         total = base + last_q_index + 1
         nblocks = pl.cdiv(total, block_k)
-        q = q_ref[0, 0].astype(jnp.float32) * scale
+        qs = [q_ref[0, t].astype(jnp.float32) * scale for t in range(hf)]
         row_pos = base + (row0 + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)) // g
 
         def get_dma(slot, kb):
             start = kb * block_k
             dmas = (
                 pltpu.make_async_copy(
-                    k_hbm.at[b, h, pl.ds(start, block_k), :], kb_scr.at[slot], sem.at[slot, 0]
+                    k_hbm.at[b, pl.ds(h0, hf), pl.ds(start, block_k), :],
+                    kb_scr.at[slot], sem.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    v_hbm.at[b, h, pl.ds(start, block_k), :], vb_scr.at[slot], sem.at[slot, 1]
+                    v_hbm.at[b, pl.ds(h0, hf), pl.ds(start, block_k), :],
+                    vb_scr.at[slot], sem.at[slot, 1],
                 ),
             )
             if quant:
                 dmas += (
                     pltpu.make_async_copy(
-                        ks_hbm.at[b, h, :, pl.ds(start, block_k)], ks_scr.at[slot], sem.at[slot, 2]
+                        ks_hbm.at[b, pl.ds(h0, hf), :, pl.ds(start, block_k)],
+                        ks_scr.at[slot], sem.at[slot, 2],
                     ),
                     pltpu.make_async_copy(
-                        vs_hbm.at[b, h, :, pl.ds(start, block_k)], vs_scr.at[slot], sem.at[slot, 3]
+                        vs_hbm.at[b, pl.ds(h0, hf), :, pl.ds(start, block_k)],
+                        vs_scr.at[slot], sem.at[slot, 3],
                     ),
                 )
             return dmas
@@ -190,40 +215,48 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, q
             for dma in get_dma(slot, kb):
                 dma.wait()
 
-            kblk = kb_scr[slot].astype(jnp.float32)
-            vblk = vb_scr[slot].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if quant:
-                s = s * ks_scr[slot]  # (1, block_k) key-row dequant scales
             jcol = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (r, block_k), 1)
-            s = jnp.where(jcol <= row_pos, s, NEG_INF)
+            live = jcol <= row_pos
+            # hf heads per iteration: same loop/DMA overhead, hf× the work
+            for t in range(hf):
+                kblk = kb_scr[slot, t].astype(jnp.float32)
+                vblk = vb_scr[slot, t].astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    qs[t], kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                if quant:
+                    s = s * ks_scr[slot, t]  # (1, block_k) key-row dequant scales
+                s = jnp.where(live, s, NEG_INF)
 
-            m_prev = m_scr[:, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m_prev - m_new)
-            l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-            pv = p * vs_scr[slot] if quant else p  # value-row dequant scales
-            acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-                pv, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            m_scr[:, :1] = m_new
+                m_prev = m_scr[t, :, :1]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                corr = jnp.exp(m_prev - m_new)
+                l_scr[t, :, :1] = l_scr[t, :, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+                pv = p * vs_scr[slot, t] if quant else p  # value-row dequant scales
+                acc_scr[t] = acc_scr[t] * corr + jax.lax.dot_general(
+                    pv, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                m_scr[t, :, :1] = m_new
             return 0
 
         jax.lax.fori_loop(0, nblocks, body, 0)
-        o_ref[0, 0] = (acc_scr[...] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
+        for t in range(hf):
+            o_ref[0, t] = (acc_scr[t] / jnp.maximum(l_scr[t, :, :1], 1e-30)).astype(o_ref.dtype)
 
-    scale_scr = pltpu.VMEM((2, 1, block_k), jnp.float32) if quant else pltpu.VMEM((2, 1, 128), jnp.float32)
+    scale_scr = (
+        pltpu.VMEM((2, hf, 1, block_k), jnp.float32)
+        if quant
+        else pltpu.VMEM((2, hf, 1, 128), jnp.float32)
+    )
     pl.run_scoped(
         run,
-        kb_scr=pltpu.VMEM((2, block_k, d), k_hbm.dtype),
-        vb_scr=pltpu.VMEM((2, block_k, d), v_hbm.dtype),
+        kb_scr=pltpu.VMEM((2, hf, block_k, d), k_hbm.dtype),
+        vb_scr=pltpu.VMEM((2, hf, block_k, d), v_hbm.dtype),
         ks_scr=scale_scr,
         vs_scr=scale_scr,
         sem=pltpu.SemaphoreType.DMA((2, 4)),
-        acc_scr=pltpu.VMEM((r, d), jnp.float32),
-        m_scr=pltpu.VMEM((r, 128), jnp.float32),
-        l_scr=pltpu.VMEM((r, 128), jnp.float32),
+        acc_scr=pltpu.VMEM((hf, r, d), jnp.float32),
+        m_scr=pltpu.VMEM((hf, r, 128), jnp.float32),
+        l_scr=pltpu.VMEM((hf, r, 128), jnp.float32),
     )
