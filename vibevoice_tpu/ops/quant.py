@@ -22,11 +22,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-BLOCK_K = int(os.environ.get("QUANT_BLOCK_K", "512"))
-BLOCK_N = int(os.environ.get("QUANT_BLOCK_N", "512"))
+BLOCK_K = int(os.environ.get("QUANT_BLOCK_K", "0"))  # 0 = per-shape adaptive
+BLOCK_N = int(os.environ.get("QUANT_BLOCK_N", "0"))
 # "pallas" streams int8 blocks through a custom kernel; "xla" lowers to
 # convert+dot and lets XLA fuse the dequant into the matmul.
 QUANT_IMPL = os.environ.get("QUANT_IMPL", "pallas")
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_blocks(cin: int, cout: int, rows: int, xbytes: int):
+    """Largest-divisor block shapes under a VMEM budget.
+
+    The kernel's cost at decode shapes (8 rows) is per-GRID-STEP overhead,
+    not bytes: 7B gate/up (3584x18944) at fixed 512x512 runs 259 steps per
+    matmul — ~25K steps per decode frame across the LM, measured ~5 ms of
+    pure overhead. Blocks must DIVIDE the dims (Mosaic block grids), so pick
+    the divisor pair minimizing grid steps subject to the double-buffered
+    VMEM footprint; prefill calls (rows in the thousands) are charged for
+    their x/out/acc tiles and naturally land back on ~512 blocks. Returns
+    None when no divisor pair fits (odd tiny dims -> XLA fallback)."""
+    budget = 12 << 20
+
+    def divisors(n, cap):
+        return [d for d in range(128, min(n, cap) + 1, 128) if n % d == 0]
+
+    best = None
+    for bk in divisors(cin, 8192):
+        for bn in divisors(cout, 8192):
+            # double-buffered x and w8 blocks + out (bf16) + acc scratch (f32)
+            vmem = 2 * rows * bk * xbytes + 2 * bk * bn + rows * bn * (2 + 4)
+            if vmem > budget:
+                continue
+            steps = (cin // bk) * (cout // bn)
+            key = (steps, cin // bk, -bn)
+            if best is None or key < best[0]:
+                best = (key, bk, bn)
+    return None if best is None else (best[1], best[2])
 
 
 def quantize_weight(w: jnp.ndarray, max_chunk_bytes: int = 256 << 20) -> Dict:
@@ -83,8 +114,8 @@ def int8_matmul(
     w8: jnp.ndarray,  # (IN, OUT) int8
     scale: jnp.ndarray,  # (OUT,) f32
     *,
-    block_k: int = BLOCK_K,
-    block_n: int = BLOCK_N,
+    block_k: int = 0,
+    block_n: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """y = x @ (w8 * scale), dequantizing inside the kernel."""
@@ -95,9 +126,22 @@ def int8_matmul(
     r_pad = max(8, -(-rows // 8) * 8)
     if r_pad != rows:
         x2 = jnp.pad(x2, ((0, r_pad - rows), (0, 0)))
-    if QUANT_IMPL == "xla" or cin % block_k or cout % block_n:
-        # fallback for odd shapes (rare: all model dims are multiples of 512
-        # except tiny test configs)
+    picked = None
+    if cin % 512 == 0 and cout % 512 == 0:
+        # Adaptive blocks only for 512-divisible shapes (the shapes the fixed
+        # 512-block kernel served): 7B gate/up/down at 512x512 ran 259 grid
+        # steps with 512-byte DMA bursts — measured ~5 ms/frame of pure
+        # overhead; the picked blocks cut 7B decode 25.5 -> 20.1 ms (+27%).
+        # Non-divisible shapes (1.5B gate 8960, lm_head vocab 151936) keep
+        # the XLA fused convert+dot fallback — measured equal-or-better than
+        # forcing them through the kernel at decode shapes.
+        picked = _pick_blocks(cin, cout, r_pad, x.dtype.itemsize)
+        if picked and (picked[1] < 512 or picked[0] < 256):
+            picked = None
+    block_k = block_k or BLOCK_K or (picked and picked[0]) or 0
+    block_n = block_n or BLOCK_N or (picked and picked[1]) or 0
+    if QUANT_IMPL == "xla" or not block_k or cin % block_k or cout % block_n:
+        # fallback when no divisor blocks fit (odd tiny dims) or forced
         y = jnp.dot(x2.astype(jnp.bfloat16), (w8.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)))
         return y[:rows].reshape(*orig_shape[:-1], cout).astype(x.dtype)
 
@@ -203,11 +247,11 @@ def mm(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
 
 
 def _quant_entry(p: Dict) -> Dict:
-    """Quantize a linear entry, but only when its dims map onto the kernel's
-    512-tiles — otherwise the runtime would fall back to a *slower*
+    """Quantize a linear entry, but only when its dims admit kernel blocks at
+    decode rows — otherwise the runtime would fall back to a *slower*
     dequantize-then-dot, so small layers stay dense."""
     w = p["w"]
-    if w.shape[0] % BLOCK_K or w.shape[1] % BLOCK_N:
+    if w.shape[0] % 512 or w.shape[1] % 512:  # small/odd layers stay dense
         return p
     q = dict(p)
     qq = quantize_weight(q.pop("w"))
