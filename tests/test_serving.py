@@ -175,6 +175,56 @@ def test_http_server_whole_and_chunked_stream():
         server.engine.shutdown()
 
 
+def _forced_diffusion_engine(params, k):
+    """Engine whose step fn forces speech_diffusion every frame (inject-mode
+    step with a constant forced script), so requests actually produce audio
+    with random tiny weights and finish via the max-step cap — exercising the
+    per-frame audio push / ext-finish paths."""
+    import jax.numpy as jnp
+
+    opts = inf.GenerateOptions(ddpm_steps=2, max_length=128)
+    eng = ServingEngine(
+        CFG, params, tokens=TOKENS, opts=opts,
+        max_batch=2, max_len=128, frames_per_dispatch=k,
+    )
+    rng = np.random.RandomState(0)
+    init = jnp.asarray(rng.randn(256, 2, CFG.acoustic_vae_dim).astype(np.float32))
+    if k > 1:
+        real = inf.make_multi_step_fn(CFG, TOKENS, opts, k, inject=True)
+        forced = jnp.full((k, 2), TOKENS.speech_diffusion, jnp.int32)
+    else:
+        real = inf.make_step_fn(CFG, TOKENS, opts, inject=True)
+        forced = jnp.full((2,), TOKENS.speech_diffusion, jnp.int32)
+    eng.step_fn = lambda p, c, key, ext: real(p, c, key, ext, {"forced": forced, "init": init})
+    return eng
+
+
+def test_engine_frames_per_dispatch():
+    """K-frame dispatch (frames_per_dispatch=4): audio arrives in K-frame
+    chunks, the max-step cap is honoured at sub-dispatch granularity (the
+    per-frame ext matrix), and total audio length matches the K=1 engine."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    lengths = {}
+    for k in (1, 4):
+        eng = _forced_diffusion_engine(params, k)
+        try:
+            handles = [eng.submit(_make_request(i, n=8 + 3 * i)) for i in range(3)]
+            lens = []
+            for h in handles:
+                audio = h.result(timeout=240)
+                assert len(audio) > 0 and len(audio) % HOP == 0
+                assert np.isfinite(audio).all()
+                lens.append(len(audio))
+            lengths[k] = lens
+            assert all(s is None for s in eng.slots)
+        finally:
+            eng.shutdown()
+    # same requests -> same number of frames regardless of dispatch width
+    assert lengths[1] == lengths[4], lengths
+
+
 def test_engine_kv_int8():
     """The engine runs with an int8 KV cache (quantized make_cache, scale
     splicing in _join_slot) and serves concurrent requests to completion."""

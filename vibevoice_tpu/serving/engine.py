@@ -142,6 +142,7 @@ class ServingEngine:
         max_batch: int = 4,
         max_len: int = 4096,
         idle_sleep: float = 0.002,
+        frames_per_dispatch: int = 1,
     ):
         self.cfg = cfg
         self.params = params
@@ -150,7 +151,16 @@ class ServingEngine:
         self.max_batch = max_batch
         self.max_len = max_len
         self.idle_sleep = idle_sleep
-        self.step_fn = inf.make_step_fn(cfg, tokens, opts)
+        # frames_per_dispatch > 1 scans K fused frame steps per dispatch
+        # (host round-trips are ~10 ms on the remote-TPU transport — at 1
+        # frame/dispatch they dominate the serving frame time). Trade-off:
+        # audio is delivered and slots are admitted/freed at K-frame
+        # granularity (K=8 is ~1.07 s of audio per chunk).
+        self.frames_per_dispatch = frames_per_dispatch
+        if frames_per_dispatch > 1:
+            self.step_fn = inf.make_multi_step_fn(cfg, tokens, opts, frames_per_dispatch)
+        else:
+            self.step_fn = inf.make_step_fn(cfg, tokens, opts)
 
         dtype = params["lm"]["embed"].dtype
         b = max_batch
@@ -293,21 +303,32 @@ class ServingEngine:
                 time.sleep(self.idle_sleep)
                 continue
 
-            ext = self.slot_steps >= self.slot_max_steps
+            k = self.frames_per_dispatch
             self.key, sk = jax.random.split(self.key)
-            self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
-            amask = np.asarray(out.audio_mask)
-            fin = np.asarray(out.finished)
-            audio = np.asarray(out.audio) if amask.any() else None
+            if k > 1:
+                ext = (self.slot_steps[None, :] + np.arange(k)[:, None]) >= self.slot_max_steps
+                self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
+                amask = np.asarray(out.audio_mask)  # (K, B)
+                fin = np.asarray(out.finished)
+                audio = np.asarray(out.audio) if amask.any() else None  # (K, B, hop, 1)
+            else:
+                ext = self.slot_steps >= self.slot_max_steps
+                self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
+                amask = np.asarray(out.audio_mask)[None]
+                fin = np.asarray(out.finished)[None]
+                audio = np.asarray(out.audio)[None] if amask.any() else None
 
-            for i in active:
-                self.slot_steps[i] += 1
-                h = self.slots[i]
-                if amask[i]:
-                    h._push(audio[i, :, 0])
-                if fin[i]:
-                    h._finish()
-                    self.slots[i] = None
+            for f in range(amask.shape[0]):
+                for i in active:
+                    h = self.slots[i]
+                    if h is None:  # finished at an earlier frame of this dispatch
+                        continue
+                    self.slot_steps[i] += 1
+                    if amask[f, i]:
+                        h._push(audio[f, i, :, 0])
+                    if fin[f, i]:
+                        h._finish()
+                        self.slots[i] = None
 
         # drain on shutdown
         for h in self.slots:
