@@ -59,11 +59,14 @@ def _load(cfg_name="qwen2.5_1.5b_64k.json", lm_int8_inline=False):
     h, i = dc.hidden_size, dc.intermediate_size
     kh = dc.num_key_value_heads * dc.head_dim
     key = jax.random.PRNGKey(7)
+    # BENCH_INT4=1: experimental int4 LM storage probe (perf only — per-channel
+    # int4 is not accuracy-qualified; see quantize_weight bits=4)
+    bits = 4 if os.environ.get("BENCH_INT4") == "1" else 8
 
     def qlin(k, cin, cout, bias=False):
         w = jax.random.normal(k, (cin, cout), jnp.bfloat16) * dc.initializer_range
-        p = quantize_weight(w)
-        p["w8"].block_until_ready()  # free the bf16 draw before the next one
+        p = quantize_weight(w, bits=bits)
+        jax.block_until_ready(p)  # free the bf16 draw before the next one
         if bias:
             p["b"] = jnp.zeros((cout,), jnp.bfloat16)
         return p
@@ -91,7 +94,8 @@ def _load(cfg_name="qwen2.5_1.5b_64k.json", lm_int8_inline=False):
     params["lm"]["layers"] = layers
     # untied 7B lm_head: its own quantized (H, V) projection
     params["lm_head_q"] = quantize_weight(
-        jax.random.normal(key, (h, dc.vocab_size), jnp.bfloat16) * dc.initializer_range
+        jax.random.normal(key, (h, dc.vocab_size), jnp.bfloat16) * dc.initializer_range,
+        bits=bits,
     )
     params.pop("lm_head", None)
     return cfg, params
@@ -231,6 +235,8 @@ def main():
     prefill_len = int(os.environ.get("BENCH_PREFILL", "0"))
     lines = []
     suffix = "" if use_int8 else "_bf16"
+    if os.environ.get("BENCH_INT4") == "1":
+        suffix += "_int4probe"
     if kv_int8:
         suffix += "_kv8"
     if fill:

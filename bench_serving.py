@@ -1,0 +1,131 @@
+"""Serving-engine throughput benchmark: continuous batching on one chip.
+
+End-to-end serving RTF: N concurrent requests through the ServingEngine
+(prefill on its own thread, K-frame-dispatch decode, per-dispatch host audio
+fetch + streamer delivery, ragged admission/finish). Unlike bench.py — which
+times the bare device step — this number includes everything a real server
+pays between the HTTP layer and the chip.
+
+Random weights never argmax to speech_diffusion, so the engine's step fn is
+swapped for the inject-mode step forcing a diffusion frame every step. The
+fused step computes identical work regardless of the token chosen
+(masks-not-branches), but forcing makes audio fetch + delivery happen every
+dispatch, exactly like a real serve.
+
+Env overrides:
+  BENCH_BF16=1     bf16 LM instead of the int8 serving default
+  BENCH_SLOTS=N    engine max_batch            (default 4)
+  BENCH_REQS=N     total requests submitted    (default 2*slots)
+  BENCH_K=N        frames per dispatch         (default 8)
+  BENCH_MAX_LEN=N  KV cache length             (default 4096)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 5.0 (BASELINE.md: >=5x realtime per chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from vibevoice_tpu.configs import VibeVoiceConfig
+    from vibevoice_tpu.models import inference as inf
+    from vibevoice_tpu.models import vibevoice as vv
+    from vibevoice_tpu.serving import Request, ServingEngine
+
+    slots = int(os.environ.get("BENCH_SLOTS", "4"))
+    n_reqs = int(os.environ.get("BENCH_REQS", str(2 * slots)))
+    k = int(os.environ.get("BENCH_K", "8"))
+    max_len = int(os.environ.get("BENCH_MAX_LEN", "4096"))
+    use_int8 = os.environ.get("BENCH_BF16") != "1"
+
+    cfg = VibeVoiceConfig.from_json_file(
+        os.path.join(
+            os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json"
+        )
+    )
+    params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if use_int8:
+        params = vv.quantize_for_inference(params, components=("lm", "lm_head"))
+    params = vv.fuse_for_serving(params, cfg, quantize=use_int8)
+
+    tokens = inf.SpecialTokens()
+    opts = inf.GenerateOptions(ddpm_steps=10, max_length=max_len)
+    eng = ServingEngine(
+        cfg,
+        params,
+        tokens=tokens,
+        opts=opts,
+        max_batch=slots,
+        max_len=max_len,
+        frames_per_dispatch=k,
+    )
+
+    # Force speech_diffusion every frame (see module docstring): same device
+    # work as the production step, but audio flows every dispatch.
+    init = jnp.asarray(
+        np.random.RandomState(0).randn(256, slots, cfg.acoustic_vae_dim).astype(np.float32)
+    )
+    if k > 1:
+        real = inf.make_multi_step_fn(cfg, tokens, opts, k, inject=True)
+        forced = jnp.full((k, slots), tokens.speech_diffusion, jnp.int32)
+    else:
+        real = inf.make_step_fn(cfg, tokens, opts, inject=True)
+        forced = jnp.full((slots,), tokens.speech_diffusion, jnp.int32)
+    eng.step_fn = lambda p, c, key, ext: real(p, c, key, ext, {"forced": forced, "init": init})
+
+    prompt = 64  # -> max_steps = min(max_len-64, 2*64) = 128 frames (~17 s) each
+
+    def make_request(seed):
+        ids = np.random.RandomState(seed).randint(10, 1000, (1, prompt)).astype(np.int64)
+        ids[0, -1] = tokens.speech_start
+        return Request(input_ids=ids, valid_mask=np.ones((1, prompt), bool), seed=seed)
+
+    try:
+        # warmup: compile prefill (prompt bucket) + the K-frame step at full
+        # batch, then drain
+        warm = [eng.submit(make_request(100 + i)) for i in range(slots)]
+        for h in warm:
+            h.result(timeout=1800)
+
+        t0 = time.perf_counter()
+        handles = [eng.submit(make_request(i)) for i in range(n_reqs)]
+        total_samples = 0
+        for h in handles:
+            audio = h.result(timeout=1800)
+            total_samples += len(audio)
+        wall = time.perf_counter() - t0
+    finally:
+        eng.shutdown()
+
+    audio_sec = total_samples / 24_000.0
+    rtf = audio_sec / wall
+    suffix = "" if use_int8 else "_bf16"
+    print(
+        json.dumps(
+            {
+                "metric": f"SERVE_1.5B_{slots}slot_{n_reqs}req_k{k}{suffix}",
+                "value": round(rtf, 4),
+                "unit": "audio-sec/wall-sec/chip",
+                "vs_baseline": round(rtf / 5.0, 4),
+                "audio_sec": round(audio_sec, 2),
+                "wall_sec": round(wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,9 +74,11 @@ def init(key, cfg: VibeVoiceConfig, dtype=jnp.float32) -> Params:
 def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     head_q = params["lm"].get("lm_head_q") or params.get("lm_head_q")
     if head_q is not None:
-        from ..ops.quant import int8_matmul
+        from ..ops import quant
 
-        return int8_matmul(hidden, head_q["w8"], head_q["scale"])
+        if "w4" in head_q:  # experimental int4 probe (quantize_weight bits=4)
+            return quant.int4_matmul(hidden, head_q["w4"], head_q["scale"])
+        return quant.int8_matmul(hidden, head_q["w8"], head_q["scale"])
     w = params.get("lm_head")
     if w is None:
         w = params["lm"]["embed"]

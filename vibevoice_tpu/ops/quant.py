@@ -60,33 +60,40 @@ def _pick_blocks(cin: int, cout: int, rows: int, xbytes: int):
     return None if best is None else (best[1], best[2])
 
 
-def quantize_weight(w: jnp.ndarray, max_chunk_bytes: int = 256 << 20) -> Dict:
+def quantize_weight(w: jnp.ndarray, max_chunk_bytes: int = 256 << 20, bits: int = 8) -> Dict:
     """w (IN, OUT) float -> {'w8': int8, 'scale': (OUT,) f32}; keeps bias out.
 
     Very large weights (e.g. a 7B lm_head, 3584x152064) quantize in
     output-column chunks: scales are per-column, so chunking is exact, and it
     caps the float32 transients — a multi-GB f32 spike at high HBM occupancy
     can wedge this image's remote-TPU transfer path even when the allocation
-    itself succeeds."""
+    itself succeeds.
+
+    bits=4 is an EXPERIMENTAL storage mode ({'w4': jnp.int4}) probing XLA's
+    native int4 lowering on the weight-read-bound 7B decode (BENCH_INT4=1);
+    per-channel int4 is not accuracy-qualified — production int4 would need
+    group-wise scales and parity tests."""
+    key, qmax = ("w8", 127.0) if bits == 8 else ("w4", 7.0)
+    dt = jnp.int8 if bits == 8 else jnp.int4
 
     def q(block):
         wf = block.astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
-        w8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-        return w8, scale
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / qmax
+        wq = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(dt)
+        return wq, scale
 
     cin, cout = w.shape
     if cin * cout * 4 <= max_chunk_bytes:
-        w8, scale = q(w)
-        return {"w8": w8, "scale": scale}
+        wq, scale = q(w)
+        return {key: wq, "scale": scale}
     chunk = max(512, max_chunk_bytes // (cin * 4))
     parts = []
     for i in range(0, cout, chunk):
-        w8, scale = q(w[:, i : i + chunk])
-        w8.block_until_ready()  # keep the f32 transient peak to one chunk
-        parts.append((w8, scale))
+        wq, scale = q(w[:, i : i + chunk])
+        wq.block_until_ready()  # keep the f32 transient peak to one chunk
+        parts.append((wq, scale))
     return {
-        "w8": jnp.concatenate([p[0] for p in parts], axis=1),
+        key: jnp.concatenate([p[0] for p in parts], axis=1),
         "scale": jnp.concatenate([p[1] for p in parts]),
     }
 
@@ -235,10 +242,52 @@ def pack_lm_projections(lm_params: Dict) -> Dict:
     return out
 
 
+# int4 probe impl: "xla" = convert+dot (XLA's native int4 lowering),
+# "pallas" = the int8 kernel with an int4 memref (Mosaic-dependent)
+QUANT_IMPL4 = os.environ.get("QUANT_IMPL4", "xla")
+
+
+def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """EXPERIMENTAL y = (x @ w4) * scale with int4-packed storage (see
+    quantize_weight bits=4). Scale applied after the dot so the int4->bf16
+    convert can fuse into the matmul loads."""
+    orig_shape = x.shape
+    cin, cout = w4.shape
+    x2 = x.reshape(-1, cin)
+    if QUANT_IMPL4 == "pallas" and cin % 512 == 0 and cout % 512 == 0:
+        rows = x2.shape[0]
+        r_pad = max(8, -(-rows // 8) * 8)
+        if r_pad != rows:
+            x2 = jnp.pad(x2, ((0, r_pad - rows), (0, 0)))
+        picked = _pick_blocks(cin, cout, r_pad, x.dtype.itemsize)
+        if picked:
+            block_k, block_n = picked
+            n_k, n_n = cin // block_k, cout // block_n
+            y = pl.pallas_call(
+                functools.partial(_kernel, n_k=n_k),
+                grid=(n_n, n_k),
+                in_specs=[
+                    pl.BlockSpec((r_pad, block_k), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block_k, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, block_n), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((r_pad, block_n), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((r_pad, cout), x.dtype),
+                scratch_shapes=[pltpu.VMEM((r_pad, block_n), jnp.float32)],
+            )(x2, w4, scale.reshape(1, -1))
+            return y[:rows].reshape(*orig_shape[:-1], cout)
+    y = jnp.dot(x2.astype(jnp.bfloat16), w4.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    y = (y * scale.astype(jnp.float32)).astype(x.dtype)
+    return y.reshape(*orig_shape[:-1], cout)
+
+
 def mm(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
     """Linear apply dispatching on quantized vs dense weights."""
     if "w8" in p:
         y = int8_matmul(x, p["w8"], p["scale"])
+    elif "w4" in p:
+        y = int4_matmul(x, p["w4"], p["scale"])
     else:
         y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:

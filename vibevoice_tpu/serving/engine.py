@@ -143,6 +143,7 @@ class ServingEngine:
         max_len: int = 4096,
         idle_sleep: float = 0.002,
         frames_per_dispatch: int = 1,
+        pipeline: bool = True,
     ):
         self.cfg = cfg
         self.params = params
@@ -157,6 +158,11 @@ class ServingEngine:
         # audio is delivered and slots are admitted/freed at K-frame
         # granularity (K=8 is ~1.07 s of audio per chunk).
         self.frames_per_dispatch = frames_per_dispatch
+        # pipeline=True keeps one dispatch in flight (device computes while
+        # the host fetches/delivers the previous window) at the cost of one
+        # dispatch of extra delivery latency; turn off for minimum-latency
+        # single-stream serving.
+        self.pipeline = pipeline
         if frames_per_dispatch > 1:
             self.step_fn = inf.make_multi_step_fn(cfg, tokens, opts, frames_per_dispatch)
         else:
@@ -296,10 +302,59 @@ class ServingEngine:
         return single, max_steps
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        except BaseException as e:  # a dead decode loop must not strand callers
+            for i, h in enumerate(self.slots):
+                if h is not None:
+                    h._finish(e)
+                    self.slots[i] = None
+            self._stop.set()
+            raise
+
+    def _loop_inner(self):
+        # One dispatch kept in flight: dispatch N+1 is issued BEFORE N's
+        # outputs are fetched, so the device computes while the host pays the
+        # (remote-transport) fetch + streamer delivery of the previous window.
+        # Step counts advance at DISPATCH time (each dispatched frame advances
+        # every active slot unless it finished in-device, where the step is
+        # masked anyway); finish/free bookkeeping happens at fetch time, one
+        # dispatch later — a finished slot is re-admitted at most K frames
+        # late, and the extra masked dispatch for it is harmless.
+        inflight = None  # (out, snapshot of self.slots at dispatch)
+
+        def process(out, snap):
+            k = self.frames_per_dispatch
+            if k > 1:
+                amask = np.asarray(out.audio_mask)  # (K, B)
+                fin = np.asarray(out.finished)
+            else:
+                amask = np.asarray(out.audio_mask)[None]
+                fin = np.asarray(out.finished)[None]
+            audio = None
+            if amask.any():
+                audio = np.asarray(out.audio)
+                if k == 1:
+                    audio = audio[None]
+            for f in range(amask.shape[0]):
+                for i, h in enumerate(snap):
+                    # skip freed/re-admitted slots: this output predates them
+                    if h is None or self.slots[i] is not h:
+                        continue
+                    if amask[f, i]:
+                        h._push(audio[f, i, :, 0])
+                    if fin[f, i]:
+                        h._finish()
+                        self.slots[i] = None
+
         while not self._stop.is_set():
             self._admit()
             active = [i for i, h in enumerate(self.slots) if h is not None]
             if not active:
+                if inflight is not None:
+                    process(*inflight)
+                    inflight = None
+                    continue
                 time.sleep(self.idle_sleep)
                 continue
 
@@ -307,28 +362,20 @@ class ServingEngine:
             self.key, sk = jax.random.split(self.key)
             if k > 1:
                 ext = (self.slot_steps[None, :] + np.arange(k)[:, None]) >= self.slot_max_steps
-                self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
-                amask = np.asarray(out.audio_mask)  # (K, B)
-                fin = np.asarray(out.finished)
-                audio = np.asarray(out.audio) if amask.any() else None  # (K, B, hop, 1)
             else:
                 ext = self.slot_steps >= self.slot_max_steps
-                self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
-                amask = np.asarray(out.audio_mask)[None]
-                fin = np.asarray(out.finished)[None]
-                audio = np.asarray(out.audio)[None] if amask.any() else None
+            self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
+            for i in active:
+                self.slot_steps[i] += k
+            if self.pipeline:
+                prev, inflight = inflight, (out, list(self.slots))
+                if prev is not None:
+                    process(*prev)
+            else:
+                process(out, list(self.slots))
 
-            for f in range(amask.shape[0]):
-                for i in active:
-                    h = self.slots[i]
-                    if h is None:  # finished at an earlier frame of this dispatch
-                        continue
-                    self.slot_steps[i] += 1
-                    if amask[f, i]:
-                        h._push(audio[f, i, :, 0])
-                    if fin[f, i]:
-                        h._finish()
-                        self.slots[i] = None
+        if inflight is not None:  # deliver the last window before draining
+            process(*inflight)
 
         # drain on shutdown
         for h in self.slots:
