@@ -18,6 +18,9 @@ Env overrides:
   BENCH_REQS=N     total requests submitted    (default 2*slots)
   BENCH_K=N        frames per dispatch         (default 8)
   BENCH_MAX_LEN=N  KV cache length             (default 4096)
+  BENCH_PROMPT=N   prompt tokens per request   (default 64; generation is
+                   held at ~128 frames regardless, so larger prompts stress
+                   the prefill thread, not the decode volume)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 5.0 (BASELINE.md: >=5x realtime per chip).
@@ -86,12 +89,18 @@ def main():
         forced = jnp.full((slots,), tokens.speech_diffusion, jnp.int32)
     eng.step_fn = lambda p, c, key, ext: real(p, c, key, ext, {"forced": forced, "init": init})
 
-    prompt = 64  # -> max_steps = min(max_len-64, 2*64) = 128 frames (~17 s) each
+    prompt = int(os.environ.get("BENCH_PROMPT", "64"))
+    frames = 128  # ~17 s of audio per request at 7.5 Hz
 
     def make_request(seed):
         ids = np.random.RandomState(seed).randint(10, 1000, (1, prompt)).astype(np.int64)
         ids[0, -1] = tokens.speech_start
-        return Request(input_ids=ids, valid_mask=np.ones((1, prompt), bool), seed=seed)
+        return Request(
+            input_ids=ids,
+            valid_mask=np.ones((1, prompt), bool),
+            seed=seed,
+            max_length_times=frames / prompt,
+        )
 
     try:
         # warmup: compile prefill (prompt bucket) + the K-frame step at full
@@ -116,7 +125,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"SERVE_1.5B_{slots}slot_{n_reqs}req_k{k}{suffix}",
+                "metric": f"SERVE_1.5B_{slots}slot_{n_reqs}req_k{k}_p{prompt}{suffix}",
                 "value": round(rtf, 4),
                 "unit": "audio-sec/wall-sec/chip",
                 "vs_baseline": round(rtf / 5.0, 4),
