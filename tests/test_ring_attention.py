@@ -64,6 +64,27 @@ def test_ring_attention_matches_full(shards, q_chunk):
     np.testing.assert_allclose(np.asarray(out)[valid], ref[valid], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shards", [2, 4])
+def test_ring_attention_pallas_impl_matches_full(shards):
+    """The fused flash ring-block hop (ops/flash_attention.flash_ring_block,
+    interpret mode on the CPU virtual mesh) == dense causal attention,
+    including right padding, GQA folding, and 128-lane head_dim."""
+    mesh = make_mesh(dp=1, tp=shards)
+    rng = np.random.RandomState(3)
+    b, t, nh, kh, d = 2, 64, 4, 2, 128
+    q = rng.randn(b, t, nh, d).astype(np.float32) * 0.3
+    k = rng.randn(b, t, kh, d).astype(np.float32) * 0.3
+    v = rng.randn(b, t, kh, d).astype(np.float32) * 0.3
+    valid = np.ones((b, t), bool)
+    valid[1, 41:] = False
+    out = ring_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(valid), mesh,
+        impl="pallas", interpret=True,
+    )
+    ref = _np_causal_attention(q, k, v, valid)
+    np.testing.assert_allclose(np.asarray(out)[valid], ref[valid], rtol=2e-5, atol=2e-5)
+
+
 def test_sp_forward_matches_single_device(params):
     mesh = make_mesh(dp=1, tp=4)
     lm_cfg = CFG.decoder_config

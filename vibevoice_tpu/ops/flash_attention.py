@@ -260,3 +260,227 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, q
         m_scr=pltpu.VMEM((hf, r, 128), jnp.float32),
         l_scr=pltpu.VMEM((hf, r, 128), jnp.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ring-attention hop kernel: online-softmax state carried ACROSS calls
+# ---------------------------------------------------------------------------
+
+
+def ring_block_k(shard_len: int) -> int:
+    """Largest K-block (<=512) dividing a ring hop's shard length."""
+    bk = min(512, shard_len)
+    while shard_len % bk:
+        bk //= 2
+    return max(bk, 1)
+
+
+def _ring_qb(r: int, block_k: int) -> int:
+    """q-tile rows per grid cell: shrink as the K block grows (score tile is
+    (qb, block_k) f32 in VMEM) — same budget rule as the cached kernel."""
+    return min(max(128, (MAX_Q_ROWS * 512) // block_k), max(8, -(-r // 8) * 8))
+
+
+def ring_state_init(b: int, kh: int, r: int, d: int, block_k: int = 512):
+    """Fresh (m, l, acc) for flash_ring_block. r = folded query rows (W*G);
+    rows are padded to the kernel's q-tile multiple (pass the same block_k as
+    the hop calls). m/l keep a 128-lane trailing dim (Mosaic memref tiling);
+    only lane 0 is meaningful."""
+    qb = _ring_qb(r, block_k)
+    r_pad = -(-r // qb) * qb
+    return (
+        jnp.full((b, kh, r_pad, 128), NEG_INF, jnp.float32),
+        jnp.zeros((b, kh, r_pad, 128), jnp.float32),
+        jnp.zeros((b, kh, r_pad, d), jnp.float32),
+    )
+
+
+def flash_ring_block(
+    state,  # (m, l, acc) from ring_state_init / a previous hop — donated
+    q: jnp.ndarray,  # (B, W, NH, D) local query shard (same every hop)
+    k_blk: jnp.ndarray,  # (B, KH, S, D) visiting key block
+    v_blk: jnp.ndarray,
+    *,
+    q_start: jnp.ndarray,  # scalar int32: absolute slot of local query row 0
+    k_start: jnp.ndarray,  # scalar int32: absolute slot of k_blk column 0
+    k_len: jnp.ndarray,  # (B,) int32: keys with absolute slot < k_len are valid
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """One ring-attention hop: folds k_blk/v_blk into the online-softmax
+    state. Exact same math as one global softmax over all hops (the flash
+    trick); causality/right-padding via absolute positions — query row i
+    (absolute ``q_start + i``) attends key j iff
+    ``k_start + j <= q_start + i`` and ``k_start + j < k_len[b]``.
+
+    Returns the updated (m, l, acc). Finalize with ``ring_state_out``.
+    The TPU replacement for the jnp hop in parallel/ring_attention.py: one
+    kernel pass per hop instead of XLA materializing (q_chunk x S) score
+    tensors through HBM for every chunk of every hop."""
+    b, w, nh, d = q.shape
+    kh, s = k_blk.shape[1], k_blk.shape[2]
+    g = nh // kh
+    r = w * g
+    scale = d**-0.5 if scale is None else scale
+    if s % block_k != 0:
+        raise ValueError(
+            f"hop block length {s} must be a multiple of block_k={block_k} "
+            "(pass block_k=ring_block_k(shard_len) to both ring_state_init "
+            "and flash_ring_block)"
+        )
+
+    qg = q.reshape(b, w, kh, g, d).transpose(0, 2, 1, 3, 4).reshape(b, kh, r, d)
+    m, l, acc = state
+    r_pad = m.shape[2]
+    qb = _ring_qb(r, block_k)
+    if r_pad % qb or r_pad != -(-r // qb) * qb:
+        raise ValueError(
+            f"state rows {r_pad} inconsistent with q tile {qb} for r={r}: "
+            "ring_state_init and flash_ring_block must use the same block_k"
+        )
+    n_qb = r_pad // qb
+    if r_pad != r:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+
+    kernel = functools.partial(
+        _ring_kernel, w=w, g=g, block_k=block_k, scale=scale, qb=qb
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kh, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, qb, d), lambda i, j, qi, sc: (i, j, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # k_blk
+            pl.BlockSpec(memory_space=pl.ANY),  # v_blk
+            pl.BlockSpec((1, 1, qb, 128), lambda i, j, qi, sc: (i, j, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qb, 128), lambda i, j, qi, sc: (i, j, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qb, d), lambda i, j, qi, sc: (i, j, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, qb, 128), lambda i, j, qi, sc: (i, j, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qb, 128), lambda i, j, qi, sc: (i, j, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qb, d), lambda i, j, qi, sc: (i, j, qi, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    scalars = jnp.concatenate(
+        [
+            jnp.reshape(q_start, (1,)).astype(jnp.int32),
+            jnp.reshape(k_start, (1,)).astype(jnp.int32),
+            k_len.astype(jnp.int32),
+        ]
+    )
+    m, l, acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(m.shape, jnp.float32),
+            jax.ShapeDtypeStruct(l.shape, jnp.float32),
+            jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2},  # donate m/l/acc (post-scalar idx)
+        interpret=interpret,
+    )(scalars, qg, k_blk, v_blk, m, l, acc)
+    return m, l, acc
+
+
+def ring_state_out(state, b: int, w: int, nh: int, d: int, dtype) -> jnp.ndarray:
+    """Normalize the accumulated state into (B, W, NH, D) attention output."""
+    m, l, acc = state
+    kh = acc.shape[1]
+    g = nh // kh
+    r = w * g
+    out = acc[:, :, :r] / jnp.maximum(l[:, :, :r, :1], 1e-30)
+    return out.reshape(b, kh, w, g, d).transpose(0, 2, 1, 3, 4).reshape(b, w, nh, d).astype(dtype)
+
+
+def _ring_kernel(sc_ref, q_ref, k_hbm, v_hbm, m_in, l_in, acc_in, m_out, l_out, acc_out,
+                 *, w, g, block_k, scale, qb):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    q_start = sc_ref[0]
+    k_start = sc_ref[1]
+    k_len = sc_ref[2 + b]
+    s_total = k_hbm.shape[2]
+    r = q_ref.shape[2]
+    d = q_ref.shape[-1]
+    row0 = qi * qb
+
+    def run(kb_scr, vb_scr, sem, acc_scr, m_scr, l_scr):
+        m_scr[...] = m_in[0, 0]
+        l_scr[...] = l_in[0, 0]
+        acc_scr[...] = acc_in[0, 0]
+
+        # keys this tile can see: absolute slots <= q_start + last_query_index
+        # and < max(k_len); blocks past that horizon are never read
+        last_q_index = jnp.minimum((row0 + r - 1) // g, w - 1)
+        horizon = q_start + last_q_index + 1 - k_start  # exclusive, block-local
+        total = jnp.clip(horizon, 0, s_total)
+        nblocks = pl.cdiv(total, block_k)
+        qs = q_ref[0, 0].astype(jnp.float32) * scale
+        row_pos = q_start + (row0 + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)) // g
+
+        def get_dma(slot, kb):
+            start = kb * block_k
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[b, h, pl.ds(start, block_k), :], kb_scr.at[slot], sem.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, h, pl.ds(start, block_k), :], vb_scr.at[slot], sem.at[slot, 1]
+                ),
+            )
+
+        @pl.when(nblocks > 0)
+        def _():
+            for dma in get_dma(0, 0):
+                dma.start()
+
+        def body(kb, _):
+            slot = kb % 2
+            nxt = (kb + 1) % 2
+
+            @pl.when(kb + 1 < nblocks)
+            def _():
+                for dma in get_dma(nxt, kb + 1):
+                    dma.start()
+
+            for dma in get_dma(slot, kb):
+                dma.wait()
+
+            jpos = k_start + kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (r, block_k), 1
+            )
+            live = (jpos <= row_pos) & (jpos < k_len)
+            kblk = kb_scr[slot].astype(jnp.float32)
+            vblk = vb_scr[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qs, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = jnp.where(live, s, NEG_INF)
+            m_prev = m_scr[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+                p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m_scr[:, :1] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, nblocks, body, 0)
+        m_out[0, 0] = m_scr[...]
+        l_out[0, 0] = l_scr[...]
+        acc_out[0, 0] = acc_scr[...]
+
+    pl.run_scoped(
+        run,
+        kb_scr=pltpu.VMEM((2, block_k, d), k_hbm.dtype),
+        vb_scr=pltpu.VMEM((2, block_k, d), v_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, 2)),
+        acc_scr=pltpu.VMEM((r, d), jnp.float32),
+        m_scr=pltpu.VMEM((r, 128), jnp.float32),
+        l_scr=pltpu.VMEM((r, 128), jnp.float32),
+    )

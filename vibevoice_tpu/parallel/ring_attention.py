@@ -24,15 +24,22 @@ ICI):
   so the score matrix never materializes beyond (B, NH, q_chunk, T/N) — the
   64K x 64K full-score tensor never exists.
 
-The hop compute is jnp (XLA fuses the chunk loop well); the Pallas flash
-kernel is not reused here because online state (m, l, acc) must cross
-pallas_call boundaries between hops — a fused ring-block kernel is a further
-optimization, not a capability gap.
+Two hop-compute implementations (``impl`` / env ``RING_IMPL``):
+
+* ``"pallas"`` (default on TPU): ``ops/flash_attention.flash_ring_block`` —
+  the flash kernel generalized to carry its online-softmax state (m, l, acc)
+  across pallas_calls. One kernel pass per hop streams the visiting K/V
+  block through VMEM with double-buffered DMA; XLA never materializes a
+  (q_chunk x S) score tensor in HBM.
+* ``"jnp"`` (default elsewhere): a lax.scan over q chunks with the same
+  online update in XLA ops — runs anywhere, used by the CPU virtual-mesh
+  tests and the multichip dryrun.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -80,12 +87,32 @@ def ring_attention_local(
     n_shards: int,
     scale: float,
     q_chunk: int = 512,
+    impl: str | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Runs INSIDE shard_map. Exact causal GQA attention over the full
-    (sequence-sharded) sequence; returns (B, Tl, NH, D)."""
+    (sequence-sharded) sequence; returns (B, Tl, NH, D).
+
+    impl: "pallas" | "jnp" | None (auto: pallas on TPU backends). The pallas
+    path additionally assumes each visiting block's valid keys form a prefix
+    of the block — the framework's right-padding invariant (pad tokens live
+    at the global tail, so every contiguous shard is valid-prefix)."""
     b, tl, nh, d = q.shape
     kh = k.shape[2]
     g = nh // kh
+    if impl is None:
+        impl = os.environ.get("RING_IMPL") or (
+            "pallas"
+            # Mosaic memref slices need 128-lane trailing dims (CLAUDE.md);
+            # head_dim-64 models keep the jnp hop
+            if jax.default_backend() == "tpu" and d % 128 == 0
+            else "jnp"
+        )
+    if impl == "pallas":
+        return _ring_local_pallas(
+            q, k, v, q_pos, k_pos, k_valid,
+            axis_name=axis_name, n_shards=n_shards, scale=scale, interpret=interpret,
+        )
     qc = min(q_chunk, tl)
     if tl % qc != 0:
         raise ValueError(f"local shard {tl} not divisible by q_chunk {qc}")
@@ -121,6 +148,48 @@ def ring_attention_local(
     return out.transpose(1, 0, 2, 3, 4).reshape(b, tl, nh, d).astype(q.dtype)
 
 
+def _ring_local_pallas(
+    q, k, v, q_pos, k_pos, k_valid, *, axis_name, n_shards, scale, interpret=False
+):
+    """Hop loop with the fused flash ring-block kernel (state in HBM f32,
+    K/V blocks streamed through VMEM per hop)."""
+    from ..ops import flash_attention as fa
+
+    b, tl, nh, d = q.shape
+    kh = k.shape[2]
+    g = nh // kh
+    bk = fa.ring_block_k(tl)
+
+    # kernel wants the cache layout (B, KH, S, D): trailing (S, D) DMA planes
+    kx = k.transpose(0, 2, 1, 3)
+    vx = v.transpose(0, 2, 1, 3)
+    state = fa.ring_state_init(b, kh, tl * g, d, block_k=bk)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    q_start = q_pos[0, 0]  # shards are contiguous slabs; same start for all b
+
+    def hop(i, carry):
+        k_blk, v_blk, kp_blk, kv_blk, state = carry
+        k_start = kp_blk[0, 0]
+        # right-padding invariant: a block's valid keys are a prefix, so the
+        # per-sample global validity horizon is start + count
+        k_len = k_start + jnp.sum(kv_blk.astype(jnp.int32), axis=1)
+        state = fa.flash_ring_block(
+            state, q, k_blk, v_blk,
+            q_start=q_start, k_start=k_start, k_len=k_len,
+            scale=scale, block_k=bk, interpret=interpret,
+        )
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        kp_blk = jax.lax.ppermute(kp_blk, axis_name, perm)
+        kv_blk = jax.lax.ppermute(kv_blk, axis_name, perm)
+        return k_blk, v_blk, kp_blk, kv_blk, state
+
+    _, _, _, _, state = jax.lax.fori_loop(
+        0, n_shards, hop, (kx, vx, k_pos, k_valid, state)
+    )
+    return fa.ring_state_out(state, b, tl, nh, d, q.dtype)
+
+
 def ring_attention(
     q: jnp.ndarray,  # (B, T, NH, D) global (T divisible by mesh axis size)
     k: jnp.ndarray,
@@ -131,6 +200,8 @@ def ring_attention(
     axis: str = "tp",
     scale: float | None = None,
     q_chunk: int = 512,
+    impl: str | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Standalone sequence-sharded causal attention (test/entry surface)."""
     b, t, nh, d = q.shape
@@ -139,7 +210,8 @@ def ring_attention(
     pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
 
     fn = functools.partial(
-        ring_attention_local, axis_name=axis, n_shards=n, scale=scale, q_chunk=q_chunk
+        ring_attention_local, axis_name=axis, n_shards=n, scale=scale, q_chunk=q_chunk,
+        impl=impl, interpret=interpret,
     )
     seq = P(None, axis)
     seq4 = P(None, axis, None, None)
