@@ -213,6 +213,10 @@ def main():
 
     # 7B int8 must never materialise the bf16 LM (see _load)
     inline = use_int8 and model == "7b"
+    if os.environ.get("BENCH_INT4") == "1" and not inline:
+        # bits=4 is applied only on the inline-quantizing 7B loader — anywhere
+        # else the _int4probe label would lie about what ran
+        raise SystemExit("BENCH_INT4=1 requires BENCH_CONFIG=7b without BENCH_BF16")
     cfg, params = _load(cfg_file, lm_int8_inline=inline)
     if use_int8 and not inline:
         components = ["lm", "lm_head"]

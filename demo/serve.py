@@ -93,6 +93,7 @@ def build_server(args):
         max_batch=args.max_batch,
         max_len=args.max_len,
         frames_per_dispatch=getattr(args, "frames_per_dispatch", 1),
+        pipeline=not getattr(args, "no_pipeline", False),
     )
     voices_dir = args.voices_dir
 
@@ -222,6 +223,9 @@ def main():
     ap.add_argument("--frames_per_dispatch", type=int, default=1,
                     help="decode frames per device dispatch (8 amortizes the "
                     "~10 ms host round-trip; audio arrives in K-frame chunks)")
+    ap.add_argument("--no_pipeline", action="store_true",
+                    help="deliver each dispatch's audio before issuing the "
+                    "next (lowest latency; pipelining is +~50%% throughput)")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache (halves cache HBM; use for long --max_len)")
     ap.add_argument("--voices_dir", type=str, default=os.path.join(os.path.dirname(__file__), "voices"))

@@ -268,7 +268,13 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, q
 
 
 def ring_block_k(shard_len: int) -> int:
-    """Largest K-block (<=512) dividing a ring hop's shard length."""
+    """Largest K-block (<=512) dividing a ring hop's shard length.
+
+    Compiled Mosaic needs the score tile's trailing (lane) dim to be a
+    multiple of 128, so shard lengths not divisible by 128 return a
+    sub-128 block that only works in interpret mode — callers on the TPU
+    path must keep shards 128-aligned (ring_attention_local auto-selection
+    falls back to the jnp hop otherwise)."""
     bk = min(512, shard_len)
     while shard_len % bk:
         bk //= 2

@@ -242,40 +242,15 @@ def pack_lm_projections(lm_params: Dict) -> Dict:
     return out
 
 
-# int4 probe impl: "xla" = convert+dot (XLA's native int4 lowering),
-# "pallas" = the int8 kernel with an int4 memref (Mosaic-dependent)
-QUANT_IMPL4 = os.environ.get("QUANT_IMPL4", "xla")
-
-
 def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """EXPERIMENTAL y = (x @ w4) * scale with int4-packed storage (see
-    quantize_weight bits=4). Scale applied after the dot so the int4->bf16
-    convert can fuse into the matmul loads."""
+    quantize_weight bits=4). XLA convert+dot only: the scale is applied
+    after the dot so the int4->bf16 convert can fuse into the matmul loads.
+    (A Pallas variant would duplicate the int8 kernel for a path the current
+    TPU backend can't run — S4 jit-boundary transfers recurse; CLAUDE.md.)"""
     orig_shape = x.shape
     cin, cout = w4.shape
     x2 = x.reshape(-1, cin)
-    if QUANT_IMPL4 == "pallas" and cin % 512 == 0 and cout % 512 == 0:
-        rows = x2.shape[0]
-        r_pad = max(8, -(-rows // 8) * 8)
-        if r_pad != rows:
-            x2 = jnp.pad(x2, ((0, r_pad - rows), (0, 0)))
-        picked = _pick_blocks(cin, cout, r_pad, x.dtype.itemsize)
-        if picked:
-            block_k, block_n = picked
-            n_k, n_n = cin // block_k, cout // block_n
-            y = pl.pallas_call(
-                functools.partial(_kernel, n_k=n_k),
-                grid=(n_n, n_k),
-                in_specs=[
-                    pl.BlockSpec((r_pad, block_k), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block_k, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, block_n), lambda j, k: (0, j), memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((r_pad, block_n), lambda j, k: (0, j), memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((r_pad, cout), x.dtype),
-                scratch_shapes=[pltpu.VMEM((r_pad, block_n), jnp.float32)],
-            )(x2, w4, scale.reshape(1, -1))
-            return y[:rows].reshape(*orig_shape[:-1], cout)
     y = jnp.dot(x2.astype(jnp.bfloat16), w4.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
     y = (y * scale.astype(jnp.float32)).astype(x.dtype)

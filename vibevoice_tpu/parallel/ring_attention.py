@@ -103,9 +103,11 @@ def ring_attention_local(
     if impl is None:
         impl = os.environ.get("RING_IMPL") or (
             "pallas"
-            # Mosaic memref slices need 128-lane trailing dims (CLAUDE.md);
-            # head_dim-64 models keep the jnp hop
-            if jax.default_backend() == "tpu" and d % 128 == 0
+            # Mosaic needs 128-lane trailing dims (CLAUDE.md): head_dim must
+            # be 128-aligned AND the shard length 128-divisible (the score
+            # tile's lane dim is the K block, which divides tl) — otherwise
+            # keep the jnp hop
+            if jax.default_backend() == "tpu" and d % 128 == 0 and tl % 128 == 0
             else "jnp"
         )
     if impl == "pallas":
@@ -159,6 +161,11 @@ def _ring_local_pallas(
     kh = k.shape[2]
     g = nh // kh
     bk = fa.ring_block_k(tl)
+    if bk < 128 and not interpret:
+        raise ValueError(
+            f"pallas ring hop needs a 128-divisible shard length (got {tl}); "
+            "use impl='jnp' or pad the sequence"
+        )
 
     # kernel wants the cache layout (B, KH, S, D): trailing (S, D) DMA planes
     kx = k.transpose(0, 2, 1, 3)

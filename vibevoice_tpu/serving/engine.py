@@ -142,7 +142,7 @@ class ServingEngine:
         max_batch: int = 4,
         max_len: int = 4096,
         idle_sleep: float = 0.002,
-        frames_per_dispatch: int = 1,
+        frames_per_dispatch: Optional[int] = None,  # None -> opts.frames_per_dispatch
         pipeline: bool = True,
     ):
         self.cfg = cfg
@@ -156,7 +156,10 @@ class ServingEngine:
         # (host round-trips are ~10 ms on the remote-TPU transport — at 1
         # frame/dispatch they dominate the serving frame time). Trade-off:
         # audio is delivered and slots are admitted/freed at K-frame
-        # granularity (K=8 is ~1.07 s of audio per chunk).
+        # granularity (K=8 is ~1.07 s of audio per chunk). Defaults to the
+        # same knob on GenerateOptions (which inference.generate honors).
+        if frames_per_dispatch is None:
+            frames_per_dispatch = max(1, opts.frames_per_dispatch)
         self.frames_per_dispatch = frames_per_dispatch
         # pipeline=True keeps one dispatch in flight (device computes while
         # the host fetches/delivers the previous window) at the cost of one
@@ -305,12 +308,28 @@ class ServingEngine:
         try:
             self._loop_inner()
         except BaseException as e:  # a dead decode loop must not strand callers
-            for i, h in enumerate(self.slots):
-                if h is not None:
-                    h._finish(e)
-                    self.slots[i] = None
             self._stop.set()
+            self._drain(e)
             raise
+
+    def _drain(self, error=None):
+        """Fail/finish every slot and queued request (active slots get
+        `error` when the loop died, a clean finish on normal shutdown)."""
+        for i, h in enumerate(self.slots):
+            if h is not None:
+                h._finish(error)
+                self.slots[i] = None
+        leftover = error or RuntimeError("engine shut down")
+        while True:
+            try:
+                self.ready.get_nowait()[0]._finish(leftover)
+            except queue.Empty:
+                break
+        while True:
+            try:
+                self.pending.get_nowait()._finish(leftover)
+            except queue.Empty:
+                break
 
     def _loop_inner(self):
         # One dispatch kept in flight: dispatch N+1 is issued BEFORE N's
@@ -376,18 +395,4 @@ class ServingEngine:
 
         if inflight is not None:  # deliver the last window before draining
             process(*inflight)
-
-        # drain on shutdown
-        for h in self.slots:
-            if h is not None:
-                h._finish()
-        while True:
-            try:
-                self.ready.get_nowait()[0]._finish(RuntimeError("engine shut down"))
-            except queue.Empty:
-                break
-        while True:
-            try:
-                self.pending.get_nowait()._finish(RuntimeError("engine shut down"))
-            except queue.Empty:
-                break
+        self._drain()
