@@ -109,13 +109,30 @@ def main():
         for h in warm:
             h.result(timeout=1800)
 
+        import threading
+
+        ttfa = {}
+
+        def consume(idx, h, t_submit):
+            for _ in h.stream():
+                ttfa[idx] = time.perf_counter() - t_submit
+                break
+
         t0 = time.perf_counter()
-        handles = [eng.submit(make_request(i)) for i in range(n_reqs)]
+        handles, watchers = [], []
+        for i in range(n_reqs):
+            h = eng.submit(make_request(i))
+            w = threading.Thread(target=consume, args=(i, h, time.perf_counter()), daemon=True)
+            w.start()
+            handles.append(h)
+            watchers.append(w)
         total_samples = 0
         for h in handles:
             audio = h.result(timeout=1800)
             total_samples += len(audio)
         wall = time.perf_counter() - t0
+        for w in watchers:
+            w.join(timeout=10)
     finally:
         eng.shutdown()
 
@@ -131,6 +148,11 @@ def main():
                 "vs_baseline": round(rtf / 5.0, 4),
                 "audio_sec": round(audio_sec, 2),
                 "wall_sec": round(wall, 2),
+                # submit -> first audio chunk (includes queueing behind the
+                # prefill thread and K-frame + pipeline delivery granularity)
+                "ttfa_p50_ms": round(
+                    sorted(ttfa.values())[len(ttfa) // 2] * 1e3, 1
+                ) if ttfa else None,
             }
         )
     )
