@@ -225,6 +225,45 @@ def test_engine_frames_per_dispatch():
     assert lengths[1] == lengths[4], lengths
 
 
+def test_engine_pipelined_slot_reuse_stress():
+    """Stress the pipelined decode loop's slot bookkeeping: many requests of
+    varying lengths churn through 2 slots (finish -> free -> re-admit while a
+    stale dispatch is still in flight), with K=3 frames per dispatch and an
+    int8 KV cache. Forced diffusion makes every request's audio length
+    deterministic: exactly its max-step cap of frames — any lost window,
+    double delivery, or cross-request contamination breaks the count."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    max_len = 128
+    opts = inf.GenerateOptions(ddpm_steps=2, max_length=max_len, kv_int8=True)
+    eng = ServingEngine(
+        CFG, params, tokens=TOKENS, opts=opts,
+        max_batch=2, max_len=max_len, frames_per_dispatch=3,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    init = jnp.asarray(rng.randn(256, 2, CFG.acoustic_vae_dim).astype(np.float32))
+    real = inf.make_multi_step_fn(CFG, TOKENS, opts, 3, inject=True)
+    forced = jnp.full((3, 2), TOKENS.speech_diffusion, jnp.int32)
+    eng.step_fn = lambda p, c, key, ext: real(p, c, key, ext, {"forced": forced, "init": init})
+    try:
+        lens = [7, 12, 9, 21, 8, 15, 10, 11]
+        handles = []
+        for i, n in enumerate(lens):
+            handles.append(eng.submit(_make_request(100 + i, n=n)))
+        for h, n in zip(handles, lens):
+            audio = h.result(timeout=300)
+            # engine cap: min(max_len - n, 2.0 * n) frames of forced diffusion
+            expect = min(max_len - n, int(2.0 * n))
+            assert len(audio) == expect * HOP, (n, len(audio) // HOP, expect)
+            assert np.isfinite(audio).all()
+        assert all(s is None for s in eng.slots)
+    finally:
+        eng.shutdown()
+
+
 def test_engine_kv_int8():
     """The engine runs with an int8 KV cache (quantized make_cache, scale
     splicing in _join_slot) and serves concurrent requests to completion."""
