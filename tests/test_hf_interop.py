@@ -142,3 +142,49 @@ def test_load_checkpoint_int8_host_quantized(tmp_path, ref_model):
     )
     h = vv.lm_logits(params, jnp.ones((1, TINY.decoder_config.hidden_size)))
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_conv_norm_reparametrization_folding():
+    """conv_norm='weight_norm'/'spectral_norm' checkpoints (reference
+    apply_parametrization_norm, modular_vibevoice_tokenizer.py:98-107) store
+    reparametrized conv tensors; _raw_conv_weight must fold them to the
+    exact eval-time weight torch computes."""
+    import torch
+
+    from vibevoice_tpu.utils.torch_convert import _raw_conv_weight
+
+    torch.manual_seed(0)
+
+    # legacy weight_norm: weight_g / weight_v
+    conv = torch.nn.Conv1d(4, 6, 5)
+    wn = torch.nn.utils.weight_norm(torch.nn.Conv1d(4, 6, 5))
+    wn.load_state_dict(
+        {k: v for k, v in torch.nn.utils.weight_norm(conv).state_dict().items()}
+    )
+    sd = {f"c.{k}": v for k, v in wn.state_dict().items()}
+    folded = _raw_conv_weight(sd, "c")
+    ref = torch.nn.utils.remove_weight_norm(wn).weight.detach().numpy()
+    np.testing.assert_allclose(folded, ref, rtol=1e-6, atol=1e-6)
+
+    # parametrize-API weight_norm: parametrizations.weight.original0/1
+    pn = torch.nn.utils.parametrizations.weight_norm(torch.nn.Conv1d(4, 6, 5))
+    sd = {f"c.{k}": v for k, v in pn.state_dict().items()}
+    folded = _raw_conv_weight(sd, "c")
+    torch.nn.utils.parametrize.remove_parametrizations(pn, "weight")
+    np.testing.assert_allclose(folded, pn.weight.detach().numpy(), rtol=1e-6, atol=1e-6)
+
+    # legacy spectral_norm: weight_orig + weight_u, eval-time sigma division
+    sn = torch.nn.utils.spectral_norm(torch.nn.Conv1d(4, 6, 5))
+    sn.eval()
+    with torch.no_grad():
+        sn(torch.zeros(1, 4, 16))  # settle u/v power iteration state
+    sd = {f"c.{k}": v for k, v in sn.state_dict().items()}
+    folded = _raw_conv_weight(sd, "c")
+    ref = torch.nn.utils.remove_spectral_norm(sn).weight.detach().numpy()
+    np.testing.assert_allclose(folded, ref, rtol=1e-5, atol=1e-6)
+
+    # plain weight passes through untouched
+    sd = {"c.weight": conv.weight}
+    np.testing.assert_allclose(
+        _raw_conv_weight(sd, "c"), conv.weight.detach().numpy(), rtol=0, atol=0
+    )

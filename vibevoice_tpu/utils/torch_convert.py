@@ -42,8 +42,46 @@ def vec(x) -> jnp.ndarray:
     return jnp.asarray(_np(x))
 
 
+def _raw_conv_weight(sd: Dict, prefix: str) -> np.ndarray:
+    """Conv weight in torch layout, folding any conv_norm reparametrization
+    (reference apply_parametrization_norm, modular_vibevoice_tokenizer.py:98-107;
+    shipped configs use 'none', but the config surface allows weight_norm /
+    spectral_norm, and their checkpoints store reparametrized tensors).
+
+    * weight_norm (legacy nn.utils.weight_norm): w = g * v / ||v|| with the
+      norm over every dim but 0 — exact.
+    * weight_norm (parametrize API): original0/original1 are (g, v) — exact.
+    * spectral_norm (legacy): eval-time w = weight_orig / sigma with
+      sigma = u^T W v, v = normalize(W^T u) from the stored u — matches
+      torch's eval forward (and remove_spectral_norm)."""
+    if prefix + ".weight" in sd:
+        return _np(sd[prefix + ".weight"])
+    if prefix + ".weight_g" in sd:
+        g, v = _np(sd[prefix + ".weight_g"]), _np(sd[prefix + ".weight_v"])
+    elif prefix + ".parametrizations.weight.original0" in sd:
+        g = _np(sd[prefix + ".parametrizations.weight.original0"])
+        v = _np(sd[prefix + ".parametrizations.weight.original1"])
+    elif prefix + ".weight_orig" in sd:
+        w = _np(sd[prefix + ".weight_orig"])
+        u = _np(sd[prefix + ".weight_u"])
+        wm = w.reshape(w.shape[0], -1)
+        if prefix + ".weight_v" in sd:  # torch stores the settled v buffer
+            vv = _np(sd[prefix + ".weight_v"])
+        else:
+            vv = wm.T @ u
+            vv = vv / max(np.linalg.norm(vv), 1e-12)
+        sigma = float(u @ (wm @ vv))
+        return w / sigma
+    else:
+        raise KeyError(f"no conv weight found under '{prefix}'")
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return (g * (v / np.maximum(norm, 1e-12))).astype(v.dtype)
+
+
 def _conv_params(sd: Dict, prefix: str, transposed: bool = False) -> Dict:
-    w = convtr_w(sd[prefix + ".weight"]) if transposed else conv_w(sd[prefix + ".weight"])
+    raw = _raw_conv_weight(sd, prefix)
+    w = convtr_w(raw) if transposed else conv_w(raw)
     p = {"w": w}
     if prefix + ".bias" in sd:
         p["b"] = vec(sd[prefix + ".bias"])
