@@ -210,3 +210,71 @@ def test_strided_conv_streaming_equals_batch():
     np.testing.assert_allclose(
         np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not importable")
+def test_full_conv_mixer_golden():
+    """mixer_layer='conv' (full-conv mixer, reference Block1D :632-639 —
+    also the reference's getattr fallback when the attr is missing): encode
+    and decode must match the torch reference, and streaming must still
+    equal batch with the groups=1 conv state."""
+    import torch
+    from reference_shim import import_reference
+
+    import_reference()
+    from vibevoice.modular.modular_vibevoice_tokenizer import (
+        VibeVoiceAcousticTokenizerModel,
+    )
+    from vibevoice.modular.configuration_vibevoice import (
+        VibeVoiceAcousticTokenizerConfig,
+    )
+    from vibevoice_tpu.utils.torch_convert import convert_acoustic_tokenizer
+
+    cfgkw = dict(
+        vae_dim=8,
+        encoder_n_filters=4,
+        encoder_ratios=[4, 2],
+        encoder_depths="1-2-1",
+        decoder_n_filters=4,
+        mixer_layer="conv",
+    )
+    torch.manual_seed(0)
+    ref_model = VibeVoiceAcousticTokenizerModel(
+        VibeVoiceAcousticTokenizerConfig(**cfgkw)
+    ).eval()
+    ours_cfg = AcousticTokenizerConfig(
+        vae_dim=8,
+        encoder_n_filters=4,
+        encoder_ratios=(4, 2),
+        encoder_depths=(1, 2, 1),
+        decoder_n_filters=4,
+        mixer_layer="conv",
+    )
+    params = convert_acoustic_tokenizer(ref_model.state_dict(), ours_cfg)
+    # full-conv mixer weights really are (k, dim, dim)
+    assert params["decoder"]["stages"][0][0]["mixer"]["w"].shape[1] > 1
+
+    x = np.random.RandomState(0).randn(2, 1, 96).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_model.encode(torch.from_numpy(x)).mean.numpy()
+    ours, _ = tok.encode(ours_cfg, params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+    z = np.random.RandomState(1).randn(2, 6, 8).astype(np.float32)
+    with torch.no_grad():
+        refd = ref_model.decode(torch.from_numpy(z)).numpy()
+    oursd, _ = tok.decode(ours_cfg, params, jnp.asarray(z))
+    np.testing.assert_allclose(
+        np.asarray(oursd).transpose(0, 2, 1), refd, rtol=0, atol=3e-4
+    )
+
+    # streaming ≡ batch with the groups=1 mixer
+    state = tok.init_decoder_state(ours_cfg, 2)
+    chunks = []
+    for i in range(z.shape[1]):
+        y, state = tok.decode(ours_cfg, params, jnp.asarray(z[:, i : i + 1]), state)
+        chunks.append(y)
+    streamed = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(oursd), rtol=2e-5, atol=2e-5
+    )

@@ -110,9 +110,17 @@ def _init_block(key, dim: int, cfg, dtype) -> Params:
     ks = jax.random.split(key, 3)
     std = cfg.weight_init_value
     gamma0 = cfg.layer_scale_init_value
+    if cfg.mixer_layer == "depthwise_conv":
+        mixer_groups = dim
+    elif cfg.mixer_layer == "conv":  # full conv mixer (reference :632-639)
+        mixer_groups = 1
+    else:
+        raise ValueError(f"Unsupported mixer layer: {cfg.mixer_layer}")
     p = {
         "norm": {"w": jnp.ones((dim,), dtype)},
-        "mixer": _init_conv(ks[0], BLOCK_KERNEL, 1, dim, std, cfg.conv_bias, dtype),
+        "mixer": _init_conv(
+            ks[0], BLOCK_KERNEL, dim // mixer_groups, dim, std, cfg.conv_bias, dtype
+        ),
         "ffn_norm": {"w": jnp.ones((dim,), dtype)},
         "ffn": {
             "fc1": _init_linear(ks[1], dim, FFN_EXPANSION * dim, std, cfg.conv_bias, dtype),
@@ -231,6 +239,8 @@ def fuse_hot_stages(tok_params: Params, cfg, quantize: bool = True, keep_dense: 
             return False
         dim = blocks[0]["norm"]["w"].shape[0]
         hid = blocks[0]["ffn"]["fc1"]["w"].shape[1]
+        if blocks[0]["mixer"]["w"].shape[1] != 1:
+            return False  # fused kernel assumes the depthwise mixer layout
         # Mosaic needs 128-lane tiles; tiny test configs run interpret on CPU
         return (dim % 128 == 0 and hid % 128 == 0) or _fuse_interpret()
 
@@ -300,13 +310,16 @@ def _norm_apply(p: Params, x: jnp.ndarray, cfg) -> jnp.ndarray:
 def _block_apply(p: Params, x: jnp.ndarray, cfg, state: Optional[jnp.ndarray]):
     """Block1D forward (reference :665-684). Returns (x, new_conv_state)."""
     dim = x.shape[-1]
+    # groups from the weight layout (k, C_in/groups, C_out): dim for the
+    # depthwise mixer, 1 for the full-conv mixer (mixer_layer='conv')
+    groups = dim // p["mixer"]["w"].shape[1]
     res = x
     h = _norm_apply(p["norm"], x, cfg)
     if state is None:
-        h = causal_conv1d(h, p["mixer"]["w"], p["mixer"].get("b"), groups=dim, pad_mode=cfg.pad_mode)
+        h = causal_conv1d(h, p["mixer"]["w"], p["mixer"].get("b"), groups=groups, pad_mode=cfg.pad_mode)
         new_state = None
     else:
-        h, new_state = causal_conv1d_streaming(h, state, p["mixer"]["w"], p["mixer"].get("b"), groups=dim)
+        h, new_state = causal_conv1d_streaming(h, state, p["mixer"]["w"], p["mixer"].get("b"), groups=groups)
     if "gamma" in p:
         h = h * p["gamma"].astype(h.dtype)
     x = res + h
