@@ -262,3 +262,35 @@ def test_generate_with_int8_params(params, step_fn):
         opts=inf.GenerateOptions(ddpm_steps=2, max_length=48),
     )
     assert set(np.unique(out.sequences[:, 8:])).issubset(set(TOKENS.candidates))
+
+
+def test_sampling_temperature_top_p(params):
+    """do_sample with HF GenerationConfig-style temperature/top_p knobs:
+    constrained-candidate invariant holds, and a degenerate nucleus
+    (top_p -> 0 keeps only the argmax) reproduces greedy decoding."""
+    rng = np.random.RandomState(11)
+    ids = rng.randint(10, 100, (2, 10)).astype(np.int64)
+    ids[:, -1] = TOKENS.speech_start
+    mask = np.ones((2, 10), bool)
+
+    out = inf.generate(
+        CFG, params, input_ids=ids, valid_mask=mask, tokens=TOKENS,
+        opts=inf.GenerateOptions(
+            ddpm_steps=2, max_length=48, do_sample=True, temperature=0.7, top_p=0.9
+        ),
+        seed=5,
+    )
+    assert set(np.unique(out.sequences[:, 10:])).issubset(set(TOKENS.candidates))
+
+    greedy = inf.generate(
+        CFG, params, input_ids=ids, valid_mask=mask, tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=48), seed=5,
+    )
+    nucleus1 = inf.generate(
+        CFG, params, input_ids=ids, valid_mask=mask, tokens=TOKENS,
+        opts=inf.GenerateOptions(
+            ddpm_steps=2, max_length=48, do_sample=True, top_p=1e-6
+        ),
+        seed=5,
+    )
+    np.testing.assert_array_equal(nucleus1.sequences, greedy.sequences)

@@ -65,6 +65,8 @@ class GenerateOptions:
     cfg_scale: float = 1.3
     ddpm_steps: int = 10
     do_sample: bool = False
+    temperature: float = 1.0  # logits warp when do_sample (HF semantics)
+    top_p: float = 1.0  # nucleus filter when do_sample
     refresh_negative: bool = True
     max_length_times: float = 2.0
     max_length: Optional[int] = None  # defaults to LM context length
@@ -313,7 +315,20 @@ def _make_step_body(
             logits = vv.lm_logits(params, carry.h_pos).astype(jnp.float32)
         cand_logits = logits[:, cand]
         if opts.do_sample:
-            choice = jax.random.categorical(k_tok, cand_logits, axis=-1)
+            # HF GenerationConfig semantics: temperature warps logits, then
+            # top-p keeps the smallest nucleus with mass >= top_p
+            scaled = cand_logits / max(opts.temperature, 1e-6)
+            if opts.top_p < 1.0:
+                probs = jax.nn.softmax(scaled, axis=-1)
+                order = jnp.argsort(-probs, axis=-1)
+                sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+                csum = jnp.cumsum(sorted_p, axis=-1)
+                keep_sorted = (csum - sorted_p) < opts.top_p  # always keeps top-1
+                keep = jnp.zeros_like(keep_sorted).at[
+                    jnp.arange(scaled.shape[0])[:, None], order
+                ].set(keep_sorted)
+                scaled = jnp.where(keep, scaled, -jnp.inf)
+            choice = jax.random.categorical(k_tok, scaled, axis=-1)
         else:
             choice = jnp.argmax(cand_logits, axis=-1)
         next_tok = cand[choice]
