@@ -21,6 +21,8 @@ Env overrides:
   BENCH_PROMPT=N   prompt tokens per request   (default 64; generation is
                    held at ~128 frames regardless, so larger prompts stress
                    the prefill thread, not the decode volume)
+  BENCH_NO_PIPELINE=1  sequential fetch (latency mode: with BENCH_K=1 and
+                   BENCH_REQS=1 this measures single-stream serving TTFA)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 5.0 (BASELINE.md: >=5x realtime per chip).
@@ -66,6 +68,7 @@ def main():
 
     tokens = inf.SpecialTokens()
     opts = inf.GenerateOptions(ddpm_steps=10, max_length=max_len)
+    pipeline = os.environ.get("BENCH_NO_PIPELINE") != "1"
     eng = ServingEngine(
         cfg,
         params,
@@ -74,6 +77,7 @@ def main():
         max_batch=slots,
         max_len=max_len,
         frames_per_dispatch=k,
+        pipeline=pipeline,
     )
 
     # Force speech_diffusion every frame (see module docstring): same device
@@ -139,6 +143,8 @@ def main():
     audio_sec = total_samples / 24_000.0
     rtf = audio_sec / wall
     suffix = "" if use_int8 else "_bf16"
+    if not pipeline:
+        suffix += "_nopipe"
     print(
         json.dumps(
             {
@@ -153,6 +159,8 @@ def main():
                 "ttfa_p50_ms": round(
                     sorted(ttfa.values())[len(ttfa) // 2] * 1e3, 1
                 ) if ttfa else None,
+                # first request sees no queueing: the single-stream TTFA
+                "ttfa_min_ms": round(min(ttfa.values()) * 1e3, 1) if ttfa else None,
             }
         )
     )

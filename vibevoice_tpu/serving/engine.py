@@ -344,17 +344,14 @@ class ServingEngine:
 
         def process(out, snap):
             k = self.frames_per_dispatch
-            if k > 1:
-                amask = np.asarray(out.audio_mask)  # (K, B)
-                fin = np.asarray(out.finished)
-            else:
-                amask = np.asarray(out.audio_mask)[None]
-                fin = np.asarray(out.finished)[None]
-            audio = None
-            if amask.any():
-                audio = np.asarray(out.audio)
-                if k == 1:
-                    audio = audio[None]
+            # ONE device fetch for the whole window: separate np.asarray
+            # calls each pay a full transport round-trip (~25 ms on the
+            # remote tunnel — 3 fetches made K=1 serving ~90 ms/frame)
+            amask, fin, audio = jax.device_get((out.audio_mask, out.finished, out.audio))
+            if k == 1:
+                amask, fin, audio = amask[None], fin[None], audio[None]
+            if not amask.any():
+                audio = None
             for f in range(amask.shape[0]):
                 for i, h in enumerate(snap):
                     # skip freed/re-admitted slots: this output predates them
