@@ -203,7 +203,9 @@ def main():
     from vibevoice_tpu.models import vibevoice as vv
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "32"))
+    # 128 frames per timed pass: at 32 the single end-of-pass device fetch
+    # (~25-50 ms transport RTT) under-reported steady-state RTF by ~15%
+    steps = int(os.environ.get("BENCH_STEPS", "128"))
     max_len = int(os.environ.get("BENCH_MAX_LEN", "4096"))
     ddpm_steps = int(os.environ.get("BENCH_DDPM_STEPS", "10"))
     frames_per_dispatch = int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", "8"))

@@ -29,6 +29,8 @@ from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Dict, List, NamedTuple, Optional
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -274,10 +276,16 @@ def chunked_prefill(
     )
 
 
+@functools.lru_cache(maxsize=32)
 def make_step_fn(
     cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions, inject: bool = False
 ):
-    """Builds the fused per-frame step function (jitted, carry donated)."""
+    """Builds the fused per-frame step function (jitted, carry donated).
+
+    Memoized on the (hashable, frozen) configs: a fresh jax.jit wrapper per
+    generate() call would RE-TRACE the whole fused program every call —
+    measured ~13 s per trace at 1.5B even with the persistent compile cache
+    (tracing happens before the cache is consulted)."""
     return jax.jit(_make_step_body(cfg, tokens, opts, inject), donate_argnums=(1,))
 
 
@@ -441,6 +449,7 @@ def _make_step_body(
     return step_body
 
 
+@functools.lru_cache(maxsize=32)
 def make_multi_step_fn(
     cfg: VibeVoiceConfig,
     tokens: SpecialTokens,
@@ -455,7 +464,8 @@ def make_multi_step_fn(
 
     Returns multi_step(params, carry, key, ext_finish (K, B)) ->
     (carry, StepOut stacked over K). With inject=True takes a trailing
-    `hooks` dict whose "forced" entry is (K, B)."""
+    `hooks` dict whose "forced" entry is (K, B). Memoized — see make_step_fn
+    (a fresh jit wrapper per call re-traces ~13 s at 1.5B)."""
     single = _make_step_body(cfg, tokens, opts, inject)
 
     def multi(params, carry, key, ext_finish, hooks=None):
@@ -624,16 +634,48 @@ def generate(
         except ImportError:
             pass
 
+    def process_window(out, ext_finish):
+        """Fetch one dispatched window (ONE device round-trip — separate
+        np.asarray calls cost ~25 ms each on the remote tunnel) and deliver
+        its tokens/audio. Returns the window's final finished row."""
+        nonlocal reach_max, finished_host
+        toks, amask, audio, fin = jax.device_get(
+            (out.tokens, out.audio_mask, out.audio, out.finished)
+        )  # (K, B) / (K, B) / (K, B, hop, 1) / (K, B)
+        if k_frames == 1:
+            toks, amask, audio, fin = toks[None], amask[None], audio[None], fin[None]
+        for f in range(toks.shape[0]):
+            sequences.append(toks[f][:, None])
+            if amask[f].any():
+                for i in np.nonzero(amask[f])[0]:
+                    audio_chunks[i].append(audio[f, i, :, 0])
+                if audio_streamer is not None:
+                    audio_streamer.put(audio[f, amask[f], :, 0], np.nonzero(amask[f])[0])
+            newly_done = fin[f] & ~finished_host
+            if newly_done.any():
+                reach_max |= ext_finish[f] & newly_done
+                if audio_streamer is not None:
+                    audio_streamer.end(np.nonzero(newly_done)[0])
+            finished_host = fin[f]
+
+    # One dispatch kept in flight: window N+1 is dispatched BEFORE N's
+    # outputs are fetched, overlapping device compute with the host's fetch
+    # + delivery. Output equality with the sequential loop holds because a
+    # window dispatched after everything finished is dropped unprocessed
+    # (the in-device step is fully masked for finished samples).
+    inflight = None  # (out, ext_finish)
     for step in iterator:
         if stop_check_fn is not None and stop_check_fn():
+            if inflight is not None:
+                process_window(*inflight)
+                inflight = None
             if audio_streamer is not None:
                 audio_streamer.end()
             break
         if audio_streamer is not None and getattr(audio_streamer, "finished_flags", None):
             if any(audio_streamer.finished_flags):
+                inflight = None  # consumer abandoned the stream: drop it
                 break
-        if finished_host.all():
-            break
 
         steps_now = np.arange(step, step + k_frames)
         ext_finish = steps_now[:, None] >= max_step_per_sample[None, :]  # (K, B)
@@ -650,34 +692,22 @@ def generate(
             hooks = {**hooks_base, "forced": jnp.asarray(forced_now)}
         if k_frames > 1:
             args = (jnp.asarray(ext_finish),) + ((hooks,) if inject else ())
-            carry, out = step_fn(params, carry, sk, *args)
-            toks = np.asarray(out.tokens)  # (K, B)
-            amask = np.asarray(out.audio_mask)  # (K, B)
-            audio = np.asarray(out.audio) if amask.any() else None  # (K, B, hop, 1)
-            fin = np.asarray(out.finished)  # (K, B)
         else:
             if inject:
                 hooks = {**hooks, "forced": hooks["forced"][0]}
             args = (jnp.asarray(ext_finish[0]),) + ((hooks,) if inject else ())
-            carry, out = step_fn(params, carry, sk, *args)
-            toks = np.asarray(out.tokens)[None]
-            amask = np.asarray(out.audio_mask)[None]
-            audio = np.asarray(out.audio)[None] if amask.any() else None
-            fin = np.asarray(out.finished)[None]
+        carry, out = step_fn(params, carry, sk, *args)
 
-        for f in range(toks.shape[0]):
-            sequences.append(toks[f][:, None])
-            if amask[f].any():
-                for i in np.nonzero(amask[f])[0]:
-                    audio_chunks[i].append(audio[f, i, :, 0])
-                if audio_streamer is not None:
-                    audio_streamer.put(audio[f, amask[f], :, 0], np.nonzero(amask[f])[0])
-            newly_done = fin[f] & ~finished_host
-            if newly_done.any():
-                reach_max |= ext_finish[f] & newly_done
-                if audio_streamer is not None:
-                    audio_streamer.end(np.nonzero(newly_done)[0])
-            finished_host = fin[f]
+        prev, inflight = inflight, (out, ext_finish)
+        if prev is not None:
+            process_window(*prev)
+        if finished_host.all():
+            # the window just dispatched runs fully masked; dropping it keeps
+            # sequences identical to the sequential loop
+            inflight = None
+            break
+    if inflight is not None:
+        process_window(*inflight)
 
     if audio_streamer is not None:
         audio_streamer.end()

@@ -401,10 +401,11 @@ def generate(
     steps = 0
     sequences = [text]
 
+    finished_np = np.asarray(state.finished)  # refreshed by the window fetch
     while True:
         if stop_check_fn is not None and stop_check_fn():
             break
-        if bool(np.asarray(state.finished).all()):
+        if bool(finished_np.all()):
             break
         if steps >= max_steps:
             break
@@ -436,8 +437,10 @@ def generate(
         else:
             state, audio, eos = speech_window_fn(params, state, sk)
         steps += TTS_SPEECH_WINDOW_SIZE
-        audio_np = np.asarray(audio)  # (6, 1, hop, 1)
-        eos_np = np.asarray(eos)  # (6, 1)
+        # one transport round-trip per window (separate fetches cost ~25 ms
+        # each on the remote tunnel); finished is re-checked at the loop top
+        audio_np, eos_np, finished_np = jax.device_get((audio, eos, state.finished))
+        # audio (6, 1, hop, 1); eos (6, 1)
         # frames after the first EOS-triggering frame are discarded
         keep = TTS_SPEECH_WINDOW_SIZE
         hit = np.nonzero(eos_np[:, 0] > 0.5)[0]
