@@ -25,6 +25,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, NamedTuple, Optional
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -244,10 +246,13 @@ def build_voice_preset(
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=16)
 def make_window_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
     """Returns (text_window_fn, speech_window_fn, single_frame_fn), all jitted
     with donated state. `opts` is inference.GenerateOptions
-    (cfg_scale/ddpm_steps used).
+    (cfg_scale/ddpm_steps used). Memoized on the frozen configs: a fresh
+    jax.jit wrapper per generate() call re-traces the window programs
+    (see inference.make_step_fn).
 
     With inject=True the speech-window fns take an extra `noise` argument
     {"init": (W, B, D)[, "sde": (W, S, B, D)]} consumed one row per frame —
