@@ -74,13 +74,6 @@ class VibeVoiceDemo:
         # (reference gradio_demo.py:142-147)
         self.ddpm_steps = ddpm_steps
         self.sde = sde
-        self._step_fns = {}
-
-    def _get_step_fn(self, opts):
-        key = (opts.cfg_scale, opts.ddpm_steps, opts.sde, opts.max_length)
-        if key not in self._step_fns:
-            self._step_fns[key] = self.inf.make_step_fn(self.cfg, self.tokens, opts)
-        return self._step_fns[key]
 
     def generate_streaming(self, script: str, voice_paths, cfg_scale: float, steps: int, seed: int, session_id: str):
         """Generator: yields (sample_rate, np.int16 audio) chunks for the UI."""
@@ -113,7 +106,7 @@ class VibeVoiceDemo:
                 seed=int(seed),
                 audio_streamer=streamer,
                 stop_check_fn=lambda: self.stop_flags.get(session_id, False),
-                step_fn=self._get_step_fn(opts),
+                step_fn=self.inf.make_step_fn(self.cfg, self.tokens, opts),  # memoized
             )
 
         thread = threading.Thread(target=run, daemon=True)

@@ -276,7 +276,26 @@ def chunked_prefill(
     )
 
 
-@functools.lru_cache(maxsize=32)
+def _trace_opts(opts: GenerateOptions) -> GenerateOptions:
+    """Project opts onto the fields the traced step program actually reads,
+    so host-only knobs (max_length, max_length_times, prefill_chunk,
+    frames_per_dispatch) don't fragment the step-fn memo into spurious
+    ~13 s retraces."""
+    import dataclasses
+
+    return dataclasses.replace(
+        GenerateOptions(),
+        cfg_scale=opts.cfg_scale,
+        ddpm_steps=opts.ddpm_steps,
+        do_sample=opts.do_sample,
+        temperature=opts.temperature,
+        top_p=opts.top_p,
+        refresh_negative=opts.refresh_negative,
+        sde=opts.sde,
+        kv_int8=opts.kv_int8,
+    )
+
+
 def make_step_fn(
     cfg: VibeVoiceConfig, tokens: SpecialTokens, opts: GenerateOptions, inject: bool = False
 ):
@@ -286,6 +305,11 @@ def make_step_fn(
     generate() call would RE-TRACE the whole fused program every call —
     measured ~13 s per trace at 1.5B even with the persistent compile cache
     (tracing happens before the cache is consulted)."""
+    return _make_step_fn_cached(cfg, tokens, _trace_opts(opts), inject)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_step_fn_cached(cfg, tokens, opts, inject):
     return jax.jit(_make_step_body(cfg, tokens, opts, inject), donate_argnums=(1,))
 
 
@@ -323,20 +347,32 @@ def _make_step_body(
             logits = vv.lm_logits(params, carry.h_pos).astype(jnp.float32)
         cand_logits = logits[:, cand]
         if opts.do_sample:
-            # HF GenerationConfig semantics: temperature warps logits, then
-            # top-p keeps the smallest nucleus with mass >= top_p
-            scaled = cand_logits / max(opts.temperature, 1e-6)
+            # HF warper ordering (reference generation config path): the
+            # temperature/top-p warpers run on FULL-VOCAB logits, and the
+            # token-constraint processor masks afterwards — so the nucleus is
+            # computed over the whole distribution, then intersected with the
+            # candidate set. (A nucleus of pure text tokens would leave no
+            # candidate; HF's min_tokens_to_keep=1 keeps a full-vocab top-1
+            # that the constraint may still mask to -inf and error — we keep
+            # the best CANDIDATE instead, the graceful superset behavior.)
+            scaled_full = logits / max(opts.temperature, 1e-6)
+            rows = jnp.arange(cand_logits.shape[0])
             if opts.top_p < 1.0:
-                probs = jax.nn.softmax(scaled, axis=-1)
+                probs = jax.nn.softmax(scaled_full, axis=-1)
                 order = jnp.argsort(-probs, axis=-1)
                 sorted_p = jnp.take_along_axis(probs, order, axis=-1)
                 csum = jnp.cumsum(sorted_p, axis=-1)
-                keep_sorted = (csum - sorted_p) < opts.top_p  # always keeps top-1
-                keep = jnp.zeros_like(keep_sorted).at[
-                    jnp.arange(scaled.shape[0])[:, None], order
-                ].set(keep_sorted)
-                scaled = jnp.where(keep, scaled, -jnp.inf)
-            choice = jax.random.categorical(k_tok, scaled, axis=-1)
+                keep_sorted = (csum - sorted_p) < opts.top_p
+                keep = jnp.zeros_like(keep_sorted).at[rows[:, None], order].set(keep_sorted)
+                cand_keep = keep[:, cand]
+            else:
+                cand_keep = jnp.ones(cand_logits.shape, bool)
+            cand_scaled = scaled_full[:, cand]
+            best = jnp.argmax(cand_scaled, axis=-1)
+            cand_keep = cand_keep.at[rows, best].set(True)
+            choice = jax.random.categorical(
+                k_tok, jnp.where(cand_keep, cand_scaled, -jnp.inf), axis=-1
+            )
         else:
             choice = jnp.argmax(cand_logits, axis=-1)
         next_tok = cand[choice]
@@ -449,7 +485,6 @@ def _make_step_body(
     return step_body
 
 
-@functools.lru_cache(maxsize=32)
 def make_multi_step_fn(
     cfg: VibeVoiceConfig,
     tokens: SpecialTokens,
@@ -466,6 +501,13 @@ def make_multi_step_fn(
     (carry, StepOut stacked over K). With inject=True takes a trailing
     `hooks` dict whose "forced" entry is (K, B). Memoized — see make_step_fn
     (a fresh jit wrapper per call re-traces ~13 s at 1.5B)."""
+    return _make_multi_step_fn_cached(
+        cfg, tokens, _trace_opts(opts), frames_per_dispatch, inject
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_multi_step_fn_cached(cfg, tokens, opts, frames_per_dispatch, inject):
     single = _make_step_body(cfg, tokens, opts, inject)
 
     def multi(params, carry, key, ext_finish, hooks=None):
@@ -637,7 +679,7 @@ def generate(
     def process_window(out, ext_finish):
         """Fetch one dispatched window (ONE device round-trip — separate
         np.asarray calls cost ~25 ms each on the remote tunnel) and deliver
-        its tokens/audio. Returns the window's final finished row."""
+        its tokens/audio; updates finished_host/reach_max in place."""
         nonlocal reach_max, finished_host
         toks, amask, audio, fin = jax.device_get(
             (out.tokens, out.audio_mask, out.audio, out.finished)
@@ -674,7 +716,11 @@ def generate(
             break
         if audio_streamer is not None and getattr(audio_streamer, "finished_flags", None):
             if any(audio_streamer.finished_flags):
-                inflight = None  # consumer abandoned the stream: drop it
+                # deliver the dispatched window first — the sequential loop
+                # had processed it before noticing the abandoned stream
+                if inflight is not None:
+                    process_window(*inflight)
+                    inflight = None
                 break
 
         steps_now = np.arange(step, step + k_frames)

@@ -246,18 +246,25 @@ def build_voice_preset(
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=16)
 def make_window_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
     """Returns (text_window_fn, speech_window_fn, single_frame_fn), all jitted
     with donated state. `opts` is inference.GenerateOptions
-    (cfg_scale/ddpm_steps used). Memoized on the frozen configs: a fresh
-    jax.jit wrapper per generate() call re-traces the window programs
+    (cfg_scale/ddpm_steps used). Memoized on the frozen configs (host-only
+    opt fields are projected out of the key): a fresh jax.jit wrapper per
+    generate() call re-traces the window programs
     (see inference.make_step_fn).
 
     With inject=True the speech-window fns take an extra `noise` argument
     {"init": (W, B, D)[, "sde": (W, S, B, D)]} consumed one row per frame —
     the fidelity-harness analog of the reference's per-frame torch.randn
     (reference modeling_vibevoice_streaming_inference.py:727-751)."""
+    from .inference import _trace_opts
+
+    return _make_window_fns_cached(cfg, _trace_opts(opts), inject)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_window_fns_cached(cfg: VibeVoiceStreamingConfig, opts, inject: bool):
     lcfg, ucfg = _lower_cfg(cfg), _upper_cfg(cfg)
     acfg = cfg.acoustic_tokenizer_config
     hcfg = cfg.diffusion_head_config

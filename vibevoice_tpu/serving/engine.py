@@ -350,8 +350,6 @@ class ServingEngine:
             amask, fin, audio = jax.device_get((out.audio_mask, out.finished, out.audio))
             if k == 1:
                 amask, fin, audio = amask[None], fin[None], audio[None]
-            if not amask.any():
-                audio = None
             for f in range(amask.shape[0]):
                 for i, h in enumerate(snap):
                     # skip freed/re-admitted slots: this output predates them
