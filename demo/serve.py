@@ -199,7 +199,8 @@ def build_server(args):
                 if handle.error is not None:
                     raise handle.error
             except (BrokenPipeError, ConnectionResetError):
-                return  # client hung up mid-stream
+                handle.cancel()  # stop the device work for a dead client
+                return
             except Exception:
                 pass  # stream already started; terminate it cleanly below
             self.wfile.write(b"0\r\n\r\n")

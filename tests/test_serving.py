@@ -289,3 +289,43 @@ def test_engine_kv_int8():
             assert np.isfinite(audio).all()
     finally:
         eng.shutdown()
+
+
+def test_request_cancellation():
+    """handle.cancel(): a queued request finishes empty without prefilling;
+    an active stream stops within ~2 dispatches and keeps the audio already
+    delivered; other streams are unaffected."""
+    import time
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = _forced_diffusion_engine(params, 2)
+    try:
+        # long-running active stream (forced diffusion, large cap)
+        h1 = eng.submit(_make_request(50, n=30))
+        h2 = eng.submit(_make_request(51, n=30))
+        deadline = time.time() + 60
+        while not any(s is h1 for s in eng.slots):
+            assert time.time() < deadline
+            time.sleep(0.01)
+        while len(h1._audio) == 0:
+            assert time.time() < deadline
+            time.sleep(0.01)
+        h1.cancel()
+        a1 = h1.result(timeout=120)
+        assert len(a1) > 0  # audio produced before the cancel is kept
+        full_frames = min(128 - 30, 60)
+        assert len(a1) < full_frames * HOP  # actually stopped early
+
+        # queued-cancel: cancel before the prefill thread reaches it
+        h3 = eng.submit(_make_request(52))
+        h3.cancel()
+        a3 = h3.result(timeout=120)
+        # either cancelled pre-prefill (empty) or within the first dispatches
+        assert len(a3) <= 3 * 2 * HOP
+
+        # the sibling stream still runs to its full cap
+        a2 = h2.result(timeout=240)
+        assert len(a2) == full_frames * HOP
+    finally:
+        eng.shutdown()

@@ -103,6 +103,14 @@ class RequestHandle:
         self._audio: List[np.ndarray] = []
         self._done = threading.Event()
         self.error: Optional[BaseException] = None
+        self.cancelled = threading.Event()
+
+    def cancel(self):
+        """Stop this request (the reference's stop-button semantics): a
+        pending request is failed at admission; an active one is finished via
+        the next dispatch's ext-finish row. Audio already produced remains
+        available from result()/stream()."""
+        self.cancelled.set()
 
     def stream(self):
         """Iterate audio frames (each `hop` samples) as they are produced."""
@@ -223,6 +231,9 @@ class ServingEngine:
                 handle = self.pending.get(timeout=0.02)
             except queue.Empty:
                 continue
+            if handle.cancelled.is_set():  # cancelled before prefill
+                handle._finish()
+                continue
             try:
                 key, pk, vk = jax.random.split(key, 3)
                 single, max_steps = self._prefill(handle.request, pk, vk)
@@ -248,6 +259,9 @@ class ServingEngine:
                 handle, single, max_steps = self.ready.get_nowait()
             except queue.Empty:
                 return
+            if handle.cancelled.is_set():  # cancelled while queued
+                handle._finish()
+                continue
             slot = self.slots.index(None)
             self.carry = _join_slot(self.carry, single, slot, self.max_batch)
             self.slot_steps[slot] = 0
@@ -374,10 +388,18 @@ class ServingEngine:
 
             k = self.frames_per_dispatch
             self.key, sk = jax.random.split(self.key)
+            # cancelled slots finish through the same in-device ext path as
+            # the max-step cap (handle.cancel() — reference stop semantics)
+            cancelled = np.array(
+                [h is not None and h.cancelled.is_set() for h in self.slots]
+            )
             if k > 1:
-                ext = (self.slot_steps[None, :] + np.arange(k)[:, None]) >= self.slot_max_steps
+                ext = (
+                    (self.slot_steps[None, :] + np.arange(k)[:, None])
+                    >= self.slot_max_steps
+                ) | cancelled[None, :]
             else:
-                ext = self.slot_steps >= self.slot_max_steps
+                ext = (self.slot_steps >= self.slot_max_steps) | cancelled
             self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
             for i in active:
                 self.slot_steps[i] += k
