@@ -278,3 +278,56 @@ def test_full_conv_mixer_golden():
     np.testing.assert_allclose(
         np.asarray(streamed), np.asarray(oursd), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not importable")
+def test_affine_free_norm_golden():
+    """layernorm_elementwise_affine=False (affine-free ConvRMSNorm — no
+    weight in the state dict): conversion and forward must still normalize
+    and match the reference."""
+    import torch
+    from reference_shim import import_reference
+
+    import_reference()
+    from vibevoice.modular.modular_vibevoice_tokenizer import (
+        VibeVoiceAcousticTokenizerModel,
+    )
+    from vibevoice.modular.configuration_vibevoice import (
+        VibeVoiceAcousticTokenizerConfig,
+    )
+    from vibevoice_tpu.utils.torch_convert import convert_acoustic_tokenizer
+
+    torch.manual_seed(0)
+    # the reference applies the flag only to the encoder/decoder FINAL norm
+    # (norm_type partial, :726); Block1D norms are always affine (:628-630),
+    # so exercise it with disable_last_norm=False
+    ref_model = VibeVoiceAcousticTokenizerModel(
+        VibeVoiceAcousticTokenizerConfig(
+            vae_dim=8, encoder_n_filters=4, encoder_ratios=[4, 2],
+            encoder_depths="1-2-1", decoder_n_filters=4,
+            layernorm_elementwise_affine=False, disable_last_norm=False,
+        )
+    ).eval()
+    ours_cfg = AcousticTokenizerConfig(
+        vae_dim=8, encoder_n_filters=4, encoder_ratios=(4, 2),
+        encoder_depths=(1, 2, 1), decoder_n_filters=4,
+        layernorm_elementwise_affine=False, disable_last_norm=False,
+    )
+    params = convert_acoustic_tokenizer(ref_model.state_dict(), ours_cfg)
+    assert "w" in params["encoder"]["stages"][0][0]["norm"]  # blocks: affine
+    assert "final_norm" in params["encoder"]
+    assert "w" not in params["encoder"]["final_norm"]  # final: affine-free
+
+    x = np.random.RandomState(0).randn(2, 1, 96).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_model.encode(torch.from_numpy(x)).mean.numpy()
+    ours, _ = tok.encode(ours_cfg, params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+    z = np.random.RandomState(1).randn(2, 6, 8).astype(np.float32)
+    with torch.no_grad():
+        refd = ref_model.decode(torch.from_numpy(z)).numpy()
+    oursd, _ = tok.decode(ours_cfg, params, jnp.asarray(z))
+    np.testing.assert_allclose(
+        np.asarray(oursd).transpose(0, 2, 1), refd, rtol=0, atol=3e-4
+    )

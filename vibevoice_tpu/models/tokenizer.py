@@ -116,6 +116,14 @@ def _init_block(key, dim: int, cfg, dtype) -> Params:
         mixer_groups = 1
     else:
         raise ValueError(f"Unsupported mixer layer: {cfg.mixer_layer}")
+    if not cfg.causal:
+        raise NotImplementedError(
+            "non-causal tokenizers are not supported (streaming decode "
+            "requires causal convs; shipped configs are causal)"
+        )
+    # Block norms are ALWAYS affine in the reference — Block1D constructs
+    # ConvRMSNorm without the elementwise_affine flag (:628-630); the flag
+    # only reaches the encoder/decoder FINAL norm via norm_type (:726)
     p = {
         "norm": {"w": jnp.ones((dim,), dtype)},
         "mixer": _init_conv(
@@ -151,7 +159,11 @@ def init_encoder(key, cfg, dtype=jnp.float32) -> Params:
     p = {"down": down, "stages": stages,
          "head": _init_conv(keys[-1], HEAD_KERNEL, dims[-1], spec["out_dim"], std, cfg.conv_bias, dtype)}
     if not cfg.disable_last_norm:
-        p["final_norm"] = {"w": jnp.ones((dims[-1],), dtype)}
+        p["final_norm"] = (
+            {"w": jnp.ones((dims[-1],), dtype)}
+            if cfg.layernorm_elementwise_affine
+            else {}
+        )
     return p
 
 
@@ -173,7 +185,11 @@ def init_decoder(key, cfg: AcousticTokenizerConfig, dtype=jnp.float32) -> Params
     p = {"up": up, "stages": stages,
          "head": _init_conv(keys[-1], HEAD_KERNEL, dims[-1], spec["out_dim"], std, cfg.conv_bias, dtype)}
     if not cfg.disable_last_norm:
-        p["final_norm"] = {"w": jnp.ones((dims[-1],), dtype)}
+        p["final_norm"] = (
+            {"w": jnp.ones((dims[-1],), dtype)}
+            if cfg.layernorm_elementwise_affine
+            else {}
+        )
     return p
 
 
@@ -236,6 +252,8 @@ def fuse_hot_stages(tok_params: Params, cfg, quantize: bool = True, keep_dense: 
 
     def packable(blocks) -> bool:
         if not blocks:
+            return False
+        if "w" not in blocks[0]["norm"]:  # affine-free norms: dense path
             return False
         dim = blocks[0]["norm"]["w"].shape[0]
         hid = blocks[0]["ffn"]["fc1"]["w"].shape[1]

@@ -95,11 +95,16 @@ def _linear_params(sd: Dict, prefix: str) -> Dict:
     return p
 
 
+def _norm_params(sd: Dict, prefix: str) -> Dict:
+    # elementwise_affine=False norms have no weight (ConvRMSNorm(…, False))
+    return {"w": vec(sd[f"{prefix}.weight"])} if f"{prefix}.weight" in sd else {}
+
+
 def _block_params(sd: Dict, prefix: str) -> Dict:
     p = {
-        "norm": {"w": vec(sd[f"{prefix}.norm.weight"])},
+        "norm": _norm_params(sd, f"{prefix}.norm"),
         "mixer": _conv_params(sd, f"{prefix}.mixer.conv.conv.conv"),
-        "ffn_norm": {"w": vec(sd[f"{prefix}.ffn_norm.weight"])},
+        "ffn_norm": _norm_params(sd, f"{prefix}.ffn_norm"),
         "ffn": {
             "fc1": _linear_params(sd, f"{prefix}.ffn.linear1"),
             "fc2": _linear_params(sd, f"{prefix}.ffn.linear2"),
@@ -125,8 +130,10 @@ def convert_encoder(sd: Dict, cfg, prefix: str = "encoder") -> Dict:
         "stages": stages,
         "head": _conv_params(sd, f"{prefix}.head.conv.conv"),
     }
-    if f"{prefix}.norm.weight" in sd:
-        p["final_norm"] = {"w": vec(sd[f"{prefix}.norm.weight"])}
+    # presence is config-driven: an affine-free final norm leaves no keys in
+    # the state dict but must still normalize
+    if not getattr(cfg, "disable_last_norm", True) or f"{prefix}.norm.weight" in sd:
+        p["final_norm"] = _norm_params(sd, f"{prefix}.norm")
     return p
 
 
@@ -146,8 +153,10 @@ def convert_decoder(sd: Dict, cfg, prefix: str = "decoder") -> Dict:
         "stages": stages,
         "head": _conv_params(sd, f"{prefix}.head.conv.conv"),
     }
-    if f"{prefix}.norm.weight" in sd:
-        p["final_norm"] = {"w": vec(sd[f"{prefix}.norm.weight"])}
+    # presence is config-driven: an affine-free final norm leaves no keys in
+    # the state dict but must still normalize
+    if not getattr(cfg, "disable_last_norm", True) or f"{prefix}.norm.weight" in sd:
+        p["final_norm"] = _norm_params(sd, f"{prefix}.norm")
     return p
 
 
