@@ -55,6 +55,13 @@ class AcousticTokenizerConfig:
             object.__setattr__(self, "decoder_ratios", tuple(self.decoder_ratios))
         if self.decoder_depths is not None:
             object.__setattr__(self, "decoder_depths", _parse_depths(self.decoder_depths))
+        # weight_norm/spectral_norm checkpoints are folded exactly at load
+        # (utils/torch_convert._raw_conv_weight); the module-norm variants
+        # would need per-conv norm layers nothing ships — fail loudly
+        if self.conv_norm not in ("none", "weight_norm", "spectral_norm"):
+            raise NotImplementedError(
+                f"conv_norm={self.conv_norm!r} (per-conv norm modules) is not supported"
+            )
 
     @property
     def resolved_decoder_ratios(self) -> Tuple[int, ...]:
@@ -109,6 +116,10 @@ class SemanticTokenizerConfig:
     def __post_init__(self):
         object.__setattr__(self, "encoder_ratios", tuple(self.encoder_ratios))
         object.__setattr__(self, "encoder_depths", _parse_depths(self.encoder_depths))
+        if self.conv_norm not in ("none", "weight_norm", "spectral_norm"):
+            raise NotImplementedError(
+                f"conv_norm={self.conv_norm!r} (per-conv norm modules) is not supported"
+            )
 
     @property
     def hop_length(self) -> int:
