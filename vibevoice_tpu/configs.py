@@ -186,6 +186,13 @@ class Qwen2Config:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Qwen2Config":
+        # all VibeVoice checkpoints ship use_sliding_window=false; silently
+        # running full attention on a sliding-window checkpoint would
+        # diverge, so reject it loudly
+        if d.get("use_sliding_window"):
+            raise NotImplementedError("sliding-window attention is not supported")
+        if d.get("hidden_act", "silu") != "silu":
+            raise NotImplementedError(f"hidden_act={d['hidden_act']!r} not supported")
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 
