@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_len", type=int, default=2048)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--kv_int8", action="store_true", help="int8 KV caches (halves cache HBM)")
     args = ap.parse_args()
 
     from vibevoice_tpu.utils.platform import honor_platform_request
@@ -115,7 +116,9 @@ def main():
 
     streamer.put = timed_put
 
-    opts = GenerateOptions(cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps)
+    opts = GenerateOptions(
+        cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps, kv_int8=args.kv_int8
+    )
     window_fns = st.make_window_fns(cfg, opts)
 
     # warmup compile (excluded from TTFA, matching steady-state serving)

@@ -122,6 +122,40 @@ def test_streamer_receives_chunks(params, preset):
     assert chunks and all(len(c) == HOP for c in chunks)
 
 
+def test_kv_int8_state_and_generate(params, preset):
+    """Streaming int8 KV caches: preset rows survive the quantize-on-load
+    roundtrip within per-row int8 error, and windowed generation runs
+    deterministically on the quantized caches (GenerateOptions.kv_int8)."""
+    from vibevoice_tpu.models import qwen2
+
+    state = st.init_stream_state(CFG, params, preset, 256, kv_int8=True)
+    assert state.lm_cache.quantized and state.tts_cache.quantized
+    assert state.lm_cache.k[0].dtype == jnp.int8
+    # dequantized preset rows track the stored float rows within half a
+    # quantization step per row
+    k_ref = np.asarray(preset.lm_kv[0][0], np.float32)  # layer 0 (1, KH, s, d)
+    s, d = k_ref.shape[2], k_ref.shape[3]
+    deq = np.asarray(
+        qwen2._dequantize_kv(state.lm_cache.k[0], state.lm_cache.k_scale[0], jnp.float32)
+    )[:, :, :s, :d]
+    bound = np.abs(k_ref).max(axis=-1, keepdims=True) / 127.0 * 0.5 + 1e-6
+    np.testing.assert_array_less(np.abs(deq - k_ref), np.broadcast_to(bound, deq.shape))
+
+    tts_text = np.random.RandomState(4).randint(10, 200, (1, 6))
+    kw = dict(
+        tts_text_ids=tts_text,
+        preset=preset,
+        opts=GenerateOptions(cfg_scale=1.5, ddpm_steps=3, kv_int8=True),
+        max_len=96,
+        seed=5,
+    )
+    a = st.generate(CFG, params, **kw)
+    b = st.generate(CFG, params, **kw)
+    audio = a.speech_outputs[0]
+    assert audio is not None and len(audio) % HOP == 0
+    np.testing.assert_array_equal(audio, b.speech_outputs[0])
+
+
 def test_text_window_padding(params, preset):
     """Last partial text window (< 5 tokens) is right-padded with a valid
     mask; generation still runs."""

@@ -165,14 +165,31 @@ class VoicePreset:
         )
 
 
-def _cache_from_kv(cfg, kv, max_len: int, dtype) -> qwen2.KVCache:
+def _cache_from_kv(cfg, kv, max_len: int, dtype, *, quantized: bool = False) -> qwen2.KVCache:
     k, v, length = kv  # stacked (L, B, KH, S, D) storage format
     L, b, kh, s, d = k.shape
-    cache = qwen2.make_cache(cfg, b, max_len, dtype)
+    cache = qwen2.make_cache(cfg, b, max_len, dtype, quantized=quantized)
+    length = jnp.asarray(length, jnp.int32).reshape(b)
+    if quantized:
+        # quantize the preset rows into the int8 buffers (per-(token, head)
+        # scales); further writes quantize-on-write inside qwen2.forward
+        ck, cks, cv, cvs = [], [], [], []
+        for buf, sbuf, out, outs, x in (
+            (cache.k, cache.k_scale, ck, cks, k),
+            (cache.v, cache.v_scale, cv, cvs, v),
+        ):
+            for i in range(L):
+                q, sc = qwen2.quantize_kv_rows(jnp.asarray(x[i], jnp.float32))
+                out.append(buf[i].at[:, :, :s, :d].set(q))
+                outs.append(sbuf[i].at[:, :, 0, :s].set(sc))
+        return qwen2.KVCache(
+            k=tuple(ck), v=tuple(cv), length=length,
+            k_scale=tuple(cks), v_scale=tuple(cvs),
+        )
     # cache lanes may be zero-padded past the model head_dim (qwen2.make_cache)
     ck = tuple(cache.k[i].at[:, :, :s, :d].set(jnp.asarray(k[i], dtype)) for i in range(L))
     cv = tuple(cache.v[i].at[:, :, :s, :d].set(jnp.asarray(v[i], dtype)) for i in range(L))
-    return qwen2.KVCache(k=ck, v=cv, length=jnp.asarray(length, jnp.int32).reshape(b))
+    return qwen2.KVCache(k=ck, v=cv, length=length)
 
 
 def init_stream_state(
@@ -180,12 +197,14 @@ def init_stream_state(
     params: Params,
     preset: VoicePreset,
     max_len: int,
+    *,
+    kv_int8: bool = False,
 ) -> StreamState:
     dtype = params["language_model"]["embed"].dtype
     return StreamState(
-        lm_cache=_cache_from_kv(_lower_cfg(cfg), preset.lm_kv, max_len, dtype),
-        tts_cache=_cache_from_kv(_upper_cfg(cfg), preset.tts_kv, max_len, dtype),
-        neg_tts_cache=_cache_from_kv(_upper_cfg(cfg), preset.neg_tts_kv, max_len, dtype),
+        lm_cache=_cache_from_kv(_lower_cfg(cfg), preset.lm_kv, max_len, dtype, quantized=kv_int8),
+        tts_cache=_cache_from_kv(_upper_cfg(cfg), preset.tts_kv, max_len, dtype, quantized=kv_int8),
+        neg_tts_cache=_cache_from_kv(_upper_cfg(cfg), preset.neg_tts_kv, max_len, dtype, quantized=kv_int8),
         dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, 1, dtype),
         tts_h=jnp.asarray(preset.tts_h, dtype),
         neg_tts_h=jnp.asarray(preset.neg_tts_h, dtype),
@@ -401,7 +420,7 @@ def generate(
         bank_init = jnp.asarray(noise_bank["init"])
         bank_sde = jnp.asarray(noise_bank["sde"]) if opts.sde else None
 
-    state = init_stream_state(cfg, params, preset, max_len)
+    state = init_stream_state(cfg, params, preset, max_len, kv_int8=opts.kv_int8)
     key = jax.random.PRNGKey(seed)
 
     text = np.asarray(tts_text_ids).reshape(1, -1)
