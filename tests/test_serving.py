@@ -175,17 +175,17 @@ def test_http_server_whole_and_chunked_stream():
         server.engine.shutdown()
 
 
-def _forced_diffusion_engine(params, k):
+def _forced_diffusion_engine(params, k, max_len=128):
     """Engine whose step fn forces speech_diffusion every frame (inject-mode
     step with a constant forced script), so requests actually produce audio
     with random tiny weights and finish via the max-step cap — exercising the
     per-frame audio push / ext-finish paths."""
     import jax.numpy as jnp
 
-    opts = inf.GenerateOptions(ddpm_steps=2, max_length=128)
+    opts = inf.GenerateOptions(ddpm_steps=2, max_length=max_len)
     eng = ServingEngine(
         CFG, params, tokens=TOKENS, opts=opts,
-        max_batch=2, max_len=128, frames_per_dispatch=k,
+        max_batch=2, max_len=max_len, frames_per_dispatch=k,
     )
     rng = np.random.RandomState(0)
     init = jnp.asarray(rng.randn(256, 2, CFG.acoustic_vae_dim).astype(np.float32))
@@ -329,3 +329,37 @@ def test_request_cancellation():
         assert len(a2) == full_frames * HOP
     finally:
         eng.shutdown()
+
+
+def test_cancel_queued_while_slots_full():
+    """A request that has PREFILLED but can't be admitted (every decode slot
+    busy with long generations) must still finish promptly on cancel() —
+    _admit drains the ready queue even with no free slot (a gated check used
+    to leave the waiter blocked and the bounded ready queue occupied)."""
+    import time
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    # long cap so both slots stay busy for the whole staged-cancel window
+    eng = _forced_diffusion_engine(params, 2, max_len=4096)
+    try:
+        # occupy both slots with effectively-unbounded generations
+        h1 = eng.submit(_make_request(60, n=30))
+        h2 = eng.submit(_make_request(61, n=30))
+        deadline = time.time() + 300
+        while not (any(s is h1 for s in eng.slots) and any(s is h2 for s in eng.slots)):
+            assert time.time() < deadline
+            time.sleep(0.01)
+        # third request: wait until its prefill is staged (ready queue or the
+        # decode thread's local staging list), with both slots still busy
+        h3 = eng.submit(_make_request(62, n=30))
+        while eng.ready.qsize() == 0 and not eng._ready_local:
+            assert time.time() < deadline
+            time.sleep(0.01)
+        assert all(s is not None for s in eng.slots)  # still no free slot
+        h3.cancel()
+        a3 = h3.result(timeout=30)  # must NOT block until a slot frees
+        assert len(a3) == 0
+        assert all(s is not None for s in eng.slots)  # siblings still running
+    finally:
+        eng.shutdown()  # force-finishes the two long streams

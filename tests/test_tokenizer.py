@@ -331,3 +331,17 @@ def test_affine_free_norm_golden():
     np.testing.assert_allclose(
         np.asarray(oursd).transpose(0, 2, 1), refd, rtol=0, atol=3e-4
     )
+
+
+def test_unsupported_config_guards_fire_at_construction():
+    """causal=False / per-conv norm-module variants are rejected when the
+    CONFIG is built, so every path (random init, checkpoint conversion,
+    JSON load) fails loudly instead of running silently-wrong semantics."""
+    import pytest
+    from vibevoice_tpu.configs import AcousticTokenizerConfig, SemanticTokenizerConfig
+
+    for cls in (AcousticTokenizerConfig, SemanticTokenizerConfig):
+        with pytest.raises(NotImplementedError, match="non-causal"):
+            cls(causal=False)
+        with pytest.raises(NotImplementedError, match="conv_norm"):
+            cls(conv_norm="time_group_norm")

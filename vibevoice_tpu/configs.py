@@ -62,6 +62,11 @@ class AcousticTokenizerConfig:
             raise NotImplementedError(
                 f"conv_norm={self.conv_norm!r} (per-conv norm modules) is not supported"
             )
+        if not self.causal:
+            raise NotImplementedError(
+                "non-causal tokenizers are not supported (streaming decode "
+                "requires causal convs; shipped configs are causal)"
+            )
 
     @property
     def resolved_decoder_ratios(self) -> Tuple[int, ...]:
@@ -119,6 +124,11 @@ class SemanticTokenizerConfig:
         if self.conv_norm not in ("none", "weight_norm", "spectral_norm"):
             raise NotImplementedError(
                 f"conv_norm={self.conv_norm!r} (per-conv norm modules) is not supported"
+            )
+        if not self.causal:
+            raise NotImplementedError(
+                "non-causal tokenizers are not supported (streaming decode "
+                "requires causal convs; shipped configs are causal)"
             )
 
     @property

@@ -116,11 +116,8 @@ def _init_block(key, dim: int, cfg, dtype) -> Params:
         mixer_groups = 1
     else:
         raise ValueError(f"Unsupported mixer layer: {cfg.mixer_layer}")
-    if not cfg.causal:
-        raise NotImplementedError(
-            "non-causal tokenizers are not supported (streaming decode "
-            "requires causal convs; shipped configs are causal)"
-        )
+    # causal=False rejected at config construction (configs.__post_init__),
+    # which covers the checkpoint-load path too, not just random init
     # Block norms are ALWAYS affine in the reference — Block1D constructs
     # ConvRMSNorm without the elementwise_affine flag (:628-630); the flag
     # only reaches the encoder/decoder FINAL norm via norm_type (:726)

@@ -199,6 +199,11 @@ class ServingEngine:
         # prefilled-but-not-yet-spliced requests; bounded so the prefill
         # worker can't pile up full-size batch-1 KV caches in HBM
         self.ready: "queue.Queue" = queue.Queue(maxsize=2)
+        # decode-thread-local staging for prefilled entries: _admit drains
+        # the bounded queue here every call so a cancelled-but-queued request
+        # is finished promptly even when no decode slot is free (and its
+        # ready-queue slot is released for the prefill worker)
+        self._ready_local: List = []
         self.key = jax.random.PRNGKey(0)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -240,6 +245,9 @@ class ServingEngine:
             except BaseException as e:  # surface bad requests to the caller
                 handle._finish(e)
                 continue
+            if handle.cancelled.is_set():  # cancelled during prefill
+                handle._finish()
+                continue
             while not self._stop.is_set():
                 try:
                     self.ready.put((handle, single, max_steps), timeout=0.1)
@@ -254,19 +262,24 @@ class ServingEngine:
     def _admit(self):
         """Splice completed prefills into free slots (cheap jitted updates,
         called between decode dispatches)."""
-        while any(h is None for h in self.slots):
+        while True:  # drain the bounded queue unconditionally (see _ready_local)
             try:
-                handle, single, max_steps = self.ready.get_nowait()
+                self._ready_local.append(self.ready.get_nowait())
             except queue.Empty:
-                return
+                break
+        keep: List = []
+        for handle, single, max_steps in self._ready_local:
             if handle.cancelled.is_set():  # cancelled while queued
                 handle._finish()
-                continue
-            slot = self.slots.index(None)
-            self.carry = _join_slot(self.carry, single, slot, self.max_batch)
-            self.slot_steps[slot] = 0
-            self.slot_max_steps[slot] = max_steps
-            self.slots[slot] = handle
+            elif any(h is None for h in self.slots):
+                slot = self.slots.index(None)
+                self.carry = _join_slot(self.carry, single, slot, self.max_batch)
+                self.slot_steps[slot] = 0
+                self.slot_max_steps[slot] = max_steps
+                self.slots[slot] = handle
+            else:
+                keep.append((handle, single, max_steps))
+        self._ready_local = keep
 
     PROMPT_BUCKET = 64  # right-pad prompts to a bucket so prefill_fn compiles
     # once per bucket instead of once per length
@@ -334,6 +347,9 @@ class ServingEngine:
                 h._finish(error)
                 self.slots[i] = None
         leftover = error or RuntimeError("engine shut down")
+        for item in self._ready_local:
+            item[0]._finish(leftover)
+        self._ready_local = []
         while True:
             try:
                 self.ready.get_nowait()[0]._finish(leftover)

@@ -96,15 +96,17 @@ def _linear_params(sd: Dict, prefix: str) -> Dict:
 
 
 def _norm_params(sd: Dict, prefix: str) -> Dict:
-    # elementwise_affine=False norms have no weight (ConvRMSNorm(…, False))
+    # elementwise_affine=False norms have no weight (ConvRMSNorm(…, False));
+    # only valid for the encoder/decoder FINAL norm — block norms are always
+    # affine in the reference, so _block_params uses the strict lookup
     return {"w": vec(sd[f"{prefix}.weight"])} if f"{prefix}.weight" in sd else {}
 
 
 def _block_params(sd: Dict, prefix: str) -> Dict:
     p = {
-        "norm": _norm_params(sd, f"{prefix}.norm"),
+        "norm": {"w": vec(sd[f"{prefix}.norm.weight"])},
         "mixer": _conv_params(sd, f"{prefix}.mixer.conv.conv.conv"),
-        "ffn_norm": _norm_params(sd, f"{prefix}.ffn_norm"),
+        "ffn_norm": {"w": vec(sd[f"{prefix}.ffn_norm.weight"])},
         "ffn": {
             "fc1": _linear_params(sd, f"{prefix}.ffn.linear1"),
             "fc2": _linear_params(sd, f"{prefix}.ffn.linear2"),
