@@ -38,7 +38,8 @@ def main():
     params = st.init(jax.random.PRNGKey(0), cfg, dtype=dtype)
     if os.environ.get("BENCH_NO_FUSE") != "1":
         params = st.fuse_vocoder(params, cfg, quantize=True)
-    opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=5, max_length=2048)
+    kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"
+    opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=5, max_length=2048, kv_int8=kv_int8)
     text_window_fn, speech_window_fn, single_frame_fn = st.make_window_fns(cfg, opts)
 
     prompt = np.random.RandomState(0).randint(10, 1000, (1, 64))
@@ -48,7 +49,7 @@ def main():
     valid = jnp.ones((1, 5), bool)
 
     # compile both stages
-    state = st.init_stream_state(cfg, params, preset, 2048)
+    state = st.init_stream_state(cfg, params, preset, 2048, kv_int8=kv_int8)
     state = text_window_fn(params, state, text, valid)
     state, audio, eos = single_frame_fn(params, state, jax.random.PRNGKey(1))
     np.asarray(audio)
@@ -56,7 +57,7 @@ def main():
     trials = int(os.environ.get("BENCH_TRIALS", "20"))
     ttfas = []
     for i in range(trials):
-        state = st.init_stream_state(cfg, params, preset, 2048)
+        state = st.init_stream_state(cfg, params, preset, 2048, kv_int8=kv_int8)
         np.asarray(state.tts_h)  # settle the fresh state on device before timing
         t0 = time.perf_counter()
         state = text_window_fn(params, state, text, valid)
