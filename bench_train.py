@@ -1,0 +1,191 @@
+"""Benchmark: single-chip fine-tuning throughput on the flagship 1.5B config.
+
+Times one full LoRA fine-tune step (the reference's primary training path,
+reference finetune/train_vibevoice.py): acoustic VAE encode of the target
+audio, connector splice, full-sequence LM forward, chunked CE + per-token
+diffusion loss, backward, AdamW update of the adapters — as ONE jitted
+program with donated optimizer state.
+
+Memory levers that make this fit a 16 GB v5e at real sequence lengths:
+  * remat over the 28 LM layers + diffusion head (TrainOptions.remat)
+  * chunked CE (TrainOptions.ce_chunk_size) — the dense (B,T,152K) float32
+    logits would be 2.5 GB per 4K-token sample
+
+Env overrides:
+  BENCH_TRAIN_SEQ=N      sequence length (default 2048)
+  BENCH_TRAIN_BATCH=N    batch size (default 2)
+  BENCH_TRAIN_FRAMES=N   target speech frames per sample (default SEQ//8;
+                         each frame also costs an acoustic encode of 3200
+                         wav samples inside the step)
+  BENCH_TRAIN_STEPS=N    timed steps (default 4, best-of)
+  BENCH_TRAIN_MODE=...   "lora" (default) | "head" (diffusion head +
+                         connectors full fine-tune, LM frozen)
+  BENCH_TRAIN_CE_CHUNK=N CE chunk tokens (default 1024)
+
+Prints one JSON line per metric (tokens/s headline, then step time + MFU).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_synthetic_batch(cfg, b, t, frames, seed=0):
+    import numpy as np
+    import jax.numpy as jnp
+    from vibevoice_tpu.finetune.loss import Batch
+
+    hop = cfg.acoustic_tokenizer_config.hop_length
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(10, 1000, (b, t)).astype(np.int32)
+    ain = np.zeros((b, t), bool)
+    start = max(1, t // 4)
+    ain[:, start : start + frames] = True
+    return Batch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((b, t), bool),
+        speech_tensors=jnp.asarray(0.05 * rng.randn(b, hop * frames).astype(np.float32)),
+        speech_masks=jnp.ones((b, frames), bool),
+        speech_semantic_tensors=jnp.asarray(
+            rng.randn(b, frames, cfg.semantic_vae_dim).astype(np.float32)
+        ),
+        speeches_loss_input=jnp.ones((b,), bool),
+        acoustic_input_mask=jnp.asarray(ain),
+        acoustic_loss_mask=jnp.asarray(ain),
+    )
+
+
+def lm_matmul_params(dc):
+    """Matmul parameter count of the decoder stack (per-token FLOPs = 2x this
+    forward); embeddings excluded, logits counted separately."""
+    h, i = dc.hidden_size, dc.intermediate_size
+    kh = dc.num_key_value_heads * dc.head_dim
+    qh = dc.num_attention_heads * dc.head_dim
+    per_layer = h * qh + 2 * h * kh + qh * h + 3 * h * i
+    return dc.num_hidden_layers * per_layer
+
+
+def main():
+    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from vibevoice_tpu.configs import VibeVoiceConfig
+    from vibevoice_tpu.finetune.loss import TrainOptions
+    from vibevoice_tpu.finetune.lora import LoraConfig, init_lora
+    from vibevoice_tpu.finetune.train_step import (
+        TrainState,
+        build_trainable_filter,
+        init_train_state,
+        make_lora_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+    from vibevoice_tpu.models import vibevoice as vv
+
+    t = int(os.environ.get("BENCH_TRAIN_SEQ", "2048"))
+    b = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
+    frames = int(os.environ.get("BENCH_TRAIN_FRAMES", str(max(8, t // 8))))
+    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", "4"))
+    mode = os.environ.get("BENCH_TRAIN_MODE", "lora")
+    ce_chunk = int(os.environ.get("BENCH_TRAIN_CE_CHUNK", "1024"))
+
+    cfg = VibeVoiceConfig.from_json_file(
+        os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json")
+    )
+    params = dict(vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+
+    opts = TrainOptions(remat=True, ce_chunk_size=ce_chunk)
+    batch = make_synthetic_batch(cfg, b, t, frames)
+    key = jax.random.PRNGKey(1)
+
+    if mode == "lora":
+        lcfg = LoraConfig()
+        lora = init_lora(jax.random.PRNGKey(2), params, lcfg)
+        optimizer = make_optimizer(total_steps=1000)
+        raw_step = make_lora_train_step(cfg, optimizer, lcfg, opts)
+        state = init_train_state(lora, optimizer)
+        step = jax.jit(raw_step, donate_argnums=0)
+
+        def run(state, k):
+            return step(state, params, batch, k)
+
+    elif mode == "head":
+        trainable = build_trainable_filter(train_connectors=True, train_diffusion_head=True,
+                                           lm_layers_to_freeze=tuple(range(cfg.decoder_config.num_hidden_layers)))
+        optimizer = make_optimizer(total_steps=1000, trainable_filter=trainable)
+        raw_step = make_train_step(cfg, optimizer, opts, trainable_filter=trainable)
+        state = init_train_state(params, optimizer)
+        step = jax.jit(raw_step, donate_argnums=0)
+
+        def run(state, k):
+            return step(state, batch, k)
+
+    else:
+        raise SystemExit(f"unknown BENCH_TRAIN_MODE={mode}")
+
+    # compile + warmup (first-batch stats init makes step 0 unrepresentative)
+    for _ in range(2):
+        key, sk = jax.random.split(key)
+        state, out = run(state, sk)
+    float(np.asarray(out.loss))
+
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(n_steps):
+            key, sk = jax.random.split(key)
+            s, out = run(s, sk)
+        float(np.asarray(out.loss))  # force the chain
+        wall = min(wall, (time.perf_counter() - t0))
+        state = s
+    step_sec = wall / n_steps
+
+    tokens_per_step = b * t
+    tok_s = tokens_per_step / step_sec
+
+    # Approximate model FLOPs per step (matmuls only, fwd 2PT):
+    #   backward-through-inputs 2PT + weight-grads 2PT (LoRA still computes
+    #   the merged-weight grad before contracting to the factors) + remat
+    #   re-forward 2PT -> 8PT total; CE logits fwd+bwd+remat ~ 6x; the
+    #   acoustic encoder runs forward-only under stop_gradient.
+    dc = cfg.decoder_config
+    p_lm = lm_matmul_params(dc)
+    p_logits = dc.hidden_size * dc.vocab_size
+    hcfg = cfg.diffusion_head_config
+    p_head = hcfg.head_layers * (
+        3 * hcfg.hidden_size * int(hcfg.hidden_size * hcfg.head_ffn_ratio)
+        + 4 * hcfg.hidden_size * hcfg.hidden_size
+    )
+    flops = (
+        8 * p_lm * tokens_per_step
+        + 6 * p_logits * tokens_per_step
+        + 8 * p_head * tokens_per_step * opts.ddpm_batch_mul
+    )
+    mfu = flops / step_sec / 197e12  # v5e bf16 peak 197 TFLOP/s
+
+    lines = [
+        {
+            "metric": f"train_tokens_per_sec_1.5B_{mode}_T{t}_B{b}",
+            "value": round(tok_s, 1),
+            "unit": "tokens/s/chip",
+            "step_ms": round(step_sec * 1e3, 1),
+            "mfu_pct": round(100 * mfu, 1),
+            "speech_frames_per_step": b * frames,
+            "audio_sec_per_sec": round(b * frames * (3200 / 24_000) / step_sec, 2),
+        }
+    ]
+    for line in lines:
+        print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,33 @@ def test_grads_flow(params):
     assert float(jnp.abs(glm).sum()) > 0
 
 
+def test_remat_chunked_ce_match(params):
+    """remat + chunked CE are exact: same loss scalars AND same gradients as
+    the dense path (chunk size deliberately not dividing B*(T-1))."""
+    batch = make_batch()
+    key = jax.random.PRNGKey(5)
+    base_opts = TrainOptions()
+    mem_opts = TrainOptions(remat=True, ce_chunk_size=7)
+
+    def loss(p, opts):
+        return train_forward(CFG, p, batch, key, opts).loss
+
+    out_a = train_forward(CFG, params, batch, key, base_opts)
+    out_b = train_forward(CFG, params, batch, key, mem_opts)
+    np.testing.assert_allclose(float(out_a.ce_loss), float(out_b.ce_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(out_a.ce_max), float(out_b.ce_max), rtol=1e-5)
+    np.testing.assert_allclose(float(out_a.ce_accuracy), float(out_b.ce_accuracy), rtol=1e-6)
+    assert int(out_a.ce_token_count) == int(out_b.ce_token_count)
+    np.testing.assert_allclose(float(out_a.loss), float(out_b.loss), rtol=1e-5)
+
+    g_a = jax.grad(loss)(params, base_opts)
+    g_b = jax.grad(loss)(params, mem_opts)
+    flat_a = jax.tree_util.tree_leaves(g_a)
+    flat_b = jax.tree_util.tree_leaves(g_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
 def test_lora_zero_init_is_identity(params):
     cfg = LoraConfig(r=4, alpha=8)
     lora = init_lora(jax.random.PRNGKey(4), params, cfg)

@@ -66,7 +66,12 @@ def test_hybrid_mesh_train_step():
     sp = pmesh.shard_params(params, pmesh.model_param_shardings(params, mesh))
     sb = jax.device_put(batch, pmesh.batch_shardings(mesh, batch))
     state = init_train_state(sp, optimizer)
-    state, out = step(state, sb, jax.random.PRNGKey(1))
+    # the sharded run additionally exercises the 16 GB-chip memory levers
+    # (remat + chunked CE) — both exact, so the loss must still match
+    mem_step = jax.jit(
+        make_train_step(CFG, optimizer, TrainOptions(dp_axis=None, remat=True, ce_chunk_size=8))
+    )
+    state, out = mem_step(state, sb, jax.random.PRNGKey(1))
     assert np.isfinite(float(out.loss))
     np.testing.assert_allclose(float(out.loss), float(ref_out.loss), rtol=1e-4)
 

@@ -33,6 +33,24 @@ def test_forward_shapes(params):
     assert logits.shape == (2, 6, 128)
 
 
+def test_remat_forward_matches(params):
+    """remat=True is a pure memory lever: identical hidden states and grads."""
+    x = qwen2.embed_tokens(params, jnp.arange(12).reshape(2, 6))
+    vm = jnp.asarray([[True] * 6, [True] * 4 + [False] * 2])
+    ref, _ = qwen2.forward(TINY, params, x, valid_mask=vm)
+    out, _ = qwen2.forward(TINY, params, x, valid_mask=vm, remat=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    def loss(p, remat):
+        h, _ = qwen2.forward(TINY, p, x, valid_mask=vm, remat=remat)
+        return jnp.sum(jnp.square(h) * vm[:, :, None])
+
+    g_ref = jax.grad(loss)(params, False)
+    g_rm = jax.grad(loss)(params, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_rm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_prefill_then_decode_matches_full(params):
     """prefill(T) + N single-token decodes == one full forward."""
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)

@@ -38,6 +38,14 @@ class TrainOptions:
     diffusion_loss_weight: float = 1.0
     ddpm_batch_mul: int = 4
     dp_axis: Optional[str] = None  # mesh axis name for the stats all-reduce
+    # Memory levers for real-scale (1.5B+) fine-tuning on a 16 GB chip:
+    # remat recomputes each LM layer (and the diffusion head) in backward so
+    # only the residual stream is stored per layer; ce_chunk_size > 0 computes
+    # the CE logits in sequence chunks under jax.checkpoint, so the
+    # (B, T, 152K-vocab) float32 logits/softmax residuals (2.5 GB per 4K-token
+    # sample) never materialise. Both are exact (same loss/grads).
+    remat: bool = False
+    ce_chunk_size: int = 0
 
 
 class Batch(NamedTuple):
@@ -82,6 +90,48 @@ def _masked_std_mean(x: jnp.ndarray, mask: jnp.ndarray, dp_axis: Optional[str]):
     # torch.std uses the unbiased estimator (n-1 denominator)
     var = (ss - n * jnp.square(mean)) / jnp.maximum(n - 1.0, 1.0)
     return jnp.sqrt(var), mean
+
+
+def _ce_chunked(params, hidden, labels, label_mask, chunk: int):
+    """CE statistics computed in sequence chunks, each under jax.checkpoint.
+
+    Peak memory drops from O(B*T*vocab) to O(chunk*vocab): forward keeps only
+    the per-chunk scalars, and backward recomputes each chunk's logits instead
+    of storing the softmax residuals. Exact — same loss/grad as the dense path
+    (pinned by test_finetune.py::test_remat_chunked_ce_match).
+    """
+    b, tm1, h = hidden.shape
+    # chunk over T only (batch stays a leading dim on every chunk) so a
+    # dp-sharded batch axis survives the reshape under pjit
+    n_chunks = -(-tm1 // chunk)
+    pad = n_chunks * chunk - tm1
+    hs = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0))) if pad else hidden
+    ls = jnp.pad(labels.astype(jnp.int32), ((0, 0), (0, pad)))
+    ms = jnp.pad(label_mask, ((0, 0), (0, pad)))
+
+    @jax.checkpoint
+    def body(carry, xs):
+        hc, lc, mc = xs  # (B, chunk, H), (B, chunk), (B, chunk)
+        mcf = mc.astype(jnp.float32)
+        logits = vv.lm_logits(params, hc).astype(jnp.float32)  # (B, chunk, V)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tlp = jnp.take_along_axis(logp, lc[..., None], axis=-1)[..., 0]
+        s, n, mx, hit = carry
+        s = s + jnp.sum(-tlp * mcf)
+        n = n + jnp.sum(mcf)
+        mx = jnp.maximum(mx, jnp.max(jnp.where(mc, -tlp, 0.0)))
+        hit = hit + jnp.sum(((jnp.argmax(logits, axis=-1) == lc) & mc).astype(jnp.float32))
+        return (s, n, mx, hit), None
+
+    init = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    xs = (
+        jnp.moveaxis(hs.reshape(b, n_chunks, chunk, h), 1, 0),
+        jnp.moveaxis(ls.reshape(b, n_chunks, chunk), 1, 0),
+        jnp.moveaxis(ms.reshape(b, n_chunks, chunk), 1, 0),
+    )
+    (s, n, mx, hit), _ = jax.lax.scan(body, init, xs)
+    denom = jnp.maximum(n, 1.0)
+    return s / denom, mx, hit / denom, n.astype(jnp.int32)
 
 
 def train_forward(
@@ -129,9 +179,9 @@ def train_forward(
 
     # ---- LM forward -------------------------------------------------------
     hidden, _ = qwen2.forward(
-        cfg.decoder_config, params["lm"], embeds, valid_mask=batch.attention_mask
+        cfg.decoder_config, params["lm"], embeds, valid_mask=batch.attention_mask,
+        remat=opts.remat,
     )
-    logits = vv.lm_logits(params, hidden).astype(jnp.float32)
 
     # ---- CE loss (mask pads + acoustic positions; reference
     #      train_vibevoice.py:183-190) ---------------------------------------
@@ -141,13 +191,19 @@ def train_forward(
         & batch.attention_mask[:, :-1]
         & ~batch.acoustic_input_mask[:, 1:]
     )
-    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-    tok_logp = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    n_ce = jnp.sum(label_mask)
-    ce = -jnp.sum(tok_logp * label_mask) / jnp.maximum(n_ce, 1)
-    ce_max = jnp.max(jnp.where(label_mask, -tok_logp, 0.0))
-    hits = (jnp.argmax(logits[:, :-1], axis=-1) == labels) & label_mask
-    ce_acc = jnp.sum(hits) / jnp.maximum(n_ce, 1)
+    if opts.ce_chunk_size > 0:
+        ce, ce_max, ce_acc, n_ce = _ce_chunked(
+            params, hidden[:, :-1], labels, label_mask, opts.ce_chunk_size
+        )
+    else:
+        logits = vv.lm_logits(params, hidden).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        tok_logp = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        n_ce = jnp.sum(label_mask)
+        ce = -jnp.sum(tok_logp * label_mask) / jnp.maximum(n_ce, 1)
+        ce_max = jnp.max(jnp.where(label_mask, -tok_logp, 0.0))
+        hits = (jnp.argmax(logits[:, :-1], axis=-1) == labels) & label_mask
+        ce_acc = jnp.sum(hits) / jnp.maximum(n_ce, 1)
 
     # ---- diffusion loss ---------------------------------------------------
     # scatter target latents to their sequence positions
@@ -170,8 +226,13 @@ def train_forward(
     timesteps = jax.random.randint(k_t, (b * t * mul,), 0, hcfg.ddpm_num_steps)
 
     noisy = noise_schedule.add_noise(x0, noise, timesteps)
-    pred = dh.apply(
-        params["diffusion_head"], hcfg, noisy.astype(dtype), timesteps.astype(jnp.float32), cond.astype(dtype)
+    head_fn = lambda hp, nz, ts, cd: dh.apply(hp, hcfg, nz, ts, cd)
+    if opts.remat:
+        # the head runs on B*T*batch_mul rows; recompute its 4 AdaLN layers in
+        # backward rather than keeping their FFN intermediates
+        head_fn = jax.checkpoint(head_fn)
+    pred = head_fn(
+        params["diffusion_head"], noisy.astype(dtype), timesteps.astype(jnp.float32), cond.astype(dtype)
     ).astype(jnp.float32)
     if hcfg.prediction_type == "v_prediction":
         target = noise_schedule.get_velocity(x0, noise, timesteps)

@@ -77,6 +77,16 @@ def parse_args():
     ap.add_argument("--checkpoint_format", type=str, default="pickle",
                     choices=["pickle", "orbax"],
                     help="orbax = sharded multi-host checkpoints (utils/checkpoint.py)")
+    ap.add_argument("--pad_to_multiple", type=int, default=None,
+                    help="pad batch sequence length to a multiple (default: 512 on "
+                    "TPU so the differentiable flash-attention kernel engages; "
+                    "unpadded elsewhere)")
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient checkpointing over LM layers + diffusion head "
+                    "(fits 1.5B fine-tunes at multi-K sequence lengths on 16 GB)")
+    ap.add_argument("--ce_chunk_size", type=int, default=0,
+                    help="compute CE logits in sequence chunks of this many tokens "
+                    "(0 = dense); avoids the (B,T,vocab) float32 logits buffer")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--report_to", type=str, default=None, choices=[None, "wandb"],
                     help="metric sink (reference routes Trainer logs to wandb)")
@@ -186,12 +196,19 @@ def main():
         post_silence_sec=0.0015 if smoke else 0.75,
         crossfade_sec=0.0005 if smoke else 0.25,
         seed=args.seed,
+        pad_to_multiple=(
+            args.pad_to_multiple
+            if args.pad_to_multiple is not None
+            else (512 if jax.default_backend() == "tpu" else None)
+        ),
     )
 
     opts = TrainOptions(
         ce_loss_weight=args.ce_loss_weight,
         diffusion_loss_weight=args.diffusion_loss_weight,
         ddpm_batch_mul=args.ddpm_batch_mul,
+        remat=args.remat,
+        ce_chunk_size=args.ce_chunk_size,
     )
     def parse_idx(s):
         return tuple(int(x) for x in s.split(",") if x.strip()) if s else ()
@@ -318,15 +335,17 @@ def main():
         print(f"saved {out}")
 
     steps_per_epoch = max(1, len(dataset) // bs)
-    order_epoch = -1
+    order_cache = {}
 
-    for step in range(start_step, args.max_steps):
+    def build_batch(step):
+        """Collate the batch for `step` — pure in `step` (per-epoch seeded
+        permutation), so it can run on the prefetch thread and stays
+        deterministic across resume (HF Trainer reshuffles per epoch)."""
         epoch = step // steps_per_epoch
-        if epoch != order_epoch:
-            # fresh epoch-seeded permutation (HF Trainer reshuffles per epoch);
-            # seeding by epoch keeps resume-from-checkpoint deterministic
-            order = np.random.RandomState(args.seed + epoch).permutation(len(dataset))
-            order_epoch = epoch
+        if epoch not in order_cache:
+            order_cache.clear()  # only the current epoch's order is live
+            order_cache[epoch] = np.random.RandomState(args.seed + epoch).permutation(len(dataset))
+        order = order_cache[epoch]
         idx = order[(step * bs) % len(order) : (step * bs) % len(order) + bs]
         if len(idx) < bs:
             idx = order[:bs]
@@ -335,6 +354,20 @@ def main():
             from ..parallel import mesh as pmesh
 
             batch = jax.device_put(batch, pmesh.batch_shardings(mesh, batch))
+        return batch
+
+    # one-batch-ahead prefetch: audio load/resample/crossfade + semantic
+    # encode overlap the device step (the reference gets this from HF
+    # Trainer's multi-worker DataLoader)
+    from concurrent.futures import ThreadPoolExecutor
+
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+    pending = prefetcher.submit(build_batch, start_step)
+
+    for step in range(start_step, args.max_steps):
+        batch = pending.result()
+        if step + 1 < args.max_steps:
+            pending = prefetcher.submit(build_batch, step + 1)
         key, sk = jax.random.split(key)
         if args.use_lora:
             state, out = step_fn(state, params, batch, sk)
@@ -402,6 +435,7 @@ def main():
         if (step + 1) % args.save_steps == 0:
             save(step + 1)
 
+    prefetcher.shutdown(wait=False, cancel_futures=True)
     if args.max_steps % args.save_steps != 0 or start_step >= args.max_steps:
         save(args.max_steps)
     print("done")

@@ -241,6 +241,60 @@ def _attention_masked(q, k, v, mask):
     return out.reshape(b, t, nh, d)
 
 
+def _train_flash_enabled(t: int) -> bool:
+    """Measured on v5e (1.5B LoRA step, T=4096 B=2): XLA's fused masked
+    attention is ~7% FASTER than the Pallas training kernel (the kernel pays
+    GQA head replication and block overhead), so flash is off by default at
+    short T. It becomes the MEMORY lever at long T — the masked path's
+    per-layer (B,H,T,T) f32 score transient is ~3.2 GB/sample-pair at T=8192
+    and stops fitting. TRAIN_FLASH=1 forces on, =0 forces off."""
+    import os
+
+    env = os.environ.get("TRAIN_FLASH")
+    if env == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return env == "1" or t >= 8192
+
+
+def _attention_train_flash(q, k, v, valid):
+    """Training-path (no-cache) flash attention via the Pallas TPU kernel
+    bundled with JAX (jax.experimental.pallas.ops.tpu.flash_attention) —
+    differentiable (custom VJP), online-softmax fwd + bwd, so the (B,H,T,T)
+    f32 score tensor of `_attention_masked` never materialises. The memory
+    term that dominated multi-K-sequence fine-tuning (400 MB/layer transient
+    at T=4096) and its recompute under remat both disappear.
+
+    Semantics match `_attention_masked` for right-padded batches: causal=True
+    plus segment ids (valid=1 / pad=0) — valid tokens are a contiguous
+    prefix, so "attend causally within my segment" == valid & causal. Pad
+    rows attend only pads (outputs unused; self-attention keeps softmax
+    finite).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, t, nh, d = q.shape
+    kh = k.shape[2]
+    g = nh // kh
+    if g > 1:  # GQA: the kernel wants matching head counts
+        k = jnp.repeat(k, g, axis=2)
+        v = jnp.repeat(v, g, axis=2)
+    seg = valid.astype(jnp.int32)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=True,
+        sm_scale=d**-0.5,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def _attention_cached(q, k, v, mask, scale=None):
     """q (B,T,NH,D), k/v (B,KH,S,D) cache layout, mask (B,T,S) bool.
 
@@ -289,7 +343,8 @@ def _dequantize_kv(buf: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None, flash=False):
+def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None, flash=False,
+           train_valid=None):
     """One transformer block. Returns (x, (k_new, v_new) cache layer or None)."""
     b, t, h = x.shape
     nh, kh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -342,7 +397,10 @@ def _layer(cfg, lp, x, cos, sin, *, mask, cache_kv=None, offsets=None, flash=Fal
             attn = attn[..., :d]
         new_cache = (ck, cv, cks, cvs)
     else:
-        attn = _attention_masked(q, k, v, mask)
+        if train_valid is not None:
+            attn = _attention_train_flash(q, k, v, train_valid)
+        else:
+            attn = _attention_masked(q, k, v, mask)
         new_cache = None
 
     x = res + _mm(attn.reshape(b, t, h), lp["attn"]["o"])
@@ -363,6 +421,7 @@ def forward(
     advance: Optional[jnp.ndarray] = None,
     layer_range: Optional[Tuple[int, int]] = None,
     skip_final_norm: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the LM over a chunk of embeddings.
 
@@ -379,6 +438,11 @@ def forward(
       layer_range: (start, stop) slice of layers (the streaming model's split
         stacks, reference modeling_vibevoice_streaming.py:134-143).
       skip_final_norm: omit the final RMSNorm (lower split of the streaming LM).
+      remat: rematerialise each layer in backward (training path only — i.e.
+        cache must be None). Trades one extra forward for O(layers) activation
+        memory: only the residual stream survives between layers, which is
+        what lets a 1.5B fine-tune step at multi-K sequence lengths fit a
+        single 16 GB chip.
 
     Returns (hidden (B, T, H), new_cache).
     """
@@ -421,6 +485,13 @@ def forward(
         mask = valid_mask[:, None, :] & causal[None]
         offsets = None
 
+    # Training path (no cache) on TPU rides the differentiable Pallas flash
+    # kernel when shapes allow (128-lane heads; 512-aligned sequence for the
+    # kernel's default block sizes). The (B,T,T) mask above is DCE'd by XLA.
+    train_valid = None
+    if cache is None and _train_flash_enabled(t) and cfg.head_dim % 128 == 0 and t % 512 == 0:
+        train_valid = valid_mask
+
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, embeds.dtype)
 
     lo, hi = layer_range if layer_range is not None else (0, cfg.num_hidden_layers)
@@ -432,15 +503,27 @@ def forward(
         quant = cache.k_scale is not None
         new_ks = list(cache.k_scale) if quant else [None] * len(new_k)
         new_vs = list(cache.v_scale) if quant else [None] * len(new_v)
+    if remat:
+        if cache is not None:
+            raise ValueError("remat is a training-path option (cache must be None)")
+
+        @jax.checkpoint
+        def _ckpt_layer(lp, x, cos, sin, mask, train_valid):
+            return _layer(cfg, lp, x, cos, sin, mask=mask, cache_kv=None, offsets=None,
+                          flash=False, train_valid=train_valid)[0]
+
     for li in range(lo, hi):
         # note: layer_range uses LOCAL layer params (split streaming stacks
         # pass their own param trees), so cache index == li - lo when the
         # cache belongs to the sub-stack; full-model callers use lo=0.
         ci = li - lo
+        if remat:
+            x = _ckpt_layer(params["layers"][li], x, cos, sin, mask, train_valid)
+            continue
         cache_kv = (new_k[ci], new_v[ci], new_ks[ci], new_vs[ci]) if cache is not None else None
         x, updated = _layer(
             cfg, params["layers"][li], x, cos, sin, mask=mask, cache_kv=cache_kv,
-            offsets=offsets, flash=flash,
+            offsets=offsets, flash=flash, train_valid=train_valid,
         )
         if cache is not None:
             new_k[ci], new_v[ci], new_ks[ci], new_vs[ci] = updated
