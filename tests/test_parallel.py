@@ -74,6 +74,73 @@ def test_tp_sharded_decode_step_matches(params):
     )
 
 
+def test_fsdp_train_step_matches(params):
+    """FSDP (ZeRO-3) shardings: params + AdamW moments shard over dp on top
+    of the TP plan, and one full training step produces the same loss as the
+    unsharded step (XLA all-gathers weights just-in-time, reduce-scatters
+    gradients — exact dataflow, different layout)."""
+    from vibevoice_tpu.finetune.loss import Batch, TrainOptions
+    from vibevoice_tpu.finetune.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    mesh = pmesh.make_mesh(dp=2, tp=2)
+    full = dict(params)
+    full["speech_scaling_factor"] = jnp.asarray(float("nan"))
+    full["speech_bias_factor"] = jnp.asarray(float("nan"))
+
+    b, t, f = 4, 32, 4
+    hop = CFG.acoustic_tokenizer_config.hop_length
+    rng = np.random.RandomState(0)
+    am = np.zeros((b, t), bool)
+    am[:, 8 : 8 + f] = True
+    batch = Batch(
+        input_ids=jnp.asarray(rng.randint(10, 100, (b, t)).astype(np.int32)),
+        attention_mask=jnp.ones((b, t), bool),
+        speech_tensors=jnp.asarray(rng.randn(b, hop * f).astype(np.float32)),
+        speech_masks=jnp.ones((b, f), bool),
+        speech_semantic_tensors=jnp.asarray(rng.randn(b, f, CFG.semantic_vae_dim).astype(np.float32)),
+        speeches_loss_input=jnp.ones((b,), bool),
+        acoustic_input_mask=jnp.asarray(am),
+        acoustic_loss_mask=jnp.asarray(am),
+    )
+    optimizer = make_optimizer()
+    step = jax.jit(make_train_step(CFG, optimizer, TrainOptions(dp_axis=None)))
+
+    ref_state = init_train_state(full, optimizer)
+    _, ref_out = step(ref_state, batch, jax.random.PRNGKey(1))
+
+    # tiny-model leaves are small; drop the size floor so the plan engages
+    shardings = pmesh.fsdp_param_shardings(full, mesh, min_leaf_size=1024)
+    # at least the embedding and the mlp weights must actually be dp-sharded
+    def has_dp(ns):
+        return any(
+            e == "dp" or (isinstance(e, tuple) and "dp" in e) for e in ns.spec
+        )
+
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    dp_sharded = [s for _, s in flat if has_dp(s)]
+    assert len(dp_sharded) >= 4, "fsdp plan sharded almost nothing"
+
+    sp = pmesh.shard_params(full, shardings)
+    sb = jax.device_put(batch, pmesh.batch_shardings(mesh, batch))
+    state = init_train_state(sp, optimizer)
+    # AdamW moments are zeros_like the params — they must inherit the fsdp
+    # sharding (that inheritance IS the ZeRO optimizer-state sharding)
+    mu = state.opt_state[1][0].mu  # chain(clip, adamw) -> adamw ScaleByAdamState
+    mu_emb = mu["lm"]["embed"]
+    assert has_dp(mu_emb.sharding), mu_emb.sharding
+
+    state, out = step(state, sb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(out.loss))
+    np.testing.assert_allclose(float(out.loss), float(ref_out.loss), rtol=1e-4)
+    # updated params keep their fsdp shardings (no silent re-replication)
+    new_emb = state.params["lm"]["embed"]
+    assert has_dp(new_emb.sharding), new_emb.sharding
+
+
 def test_dp_batch_sharding(params):
     """Batch sharded over dp: per-sample results equal replicated run."""
     mesh = pmesh.make_mesh(dp=2, tp=1)

@@ -72,6 +72,11 @@ def parse_args():
                     help="data-parallel replicas across slices/hosts (DCN axis)")
     ap.add_argument("--mesh_dp", type=int, default=1, help="in-slice data parallelism (ICI)")
     ap.add_argument("--mesh_tp", type=int, default=1, help="in-slice tensor parallelism (ICI)")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-3: shard params + optimizer state over the dp "
+                    "axis on top of the TP plan (parallel/mesh.py "
+                    "fsdp_param_shardings); XLA all-gathers weights "
+                    "just-in-time and reduce-scatters gradients")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() (run one process per host)")
     ap.add_argument("--checkpoint_format", type=str, default="pickle",
@@ -162,9 +167,17 @@ def main():
             mesh = pmesh.make_hybrid_mesh(dcn=args.mesh_dcn, dp=args.mesh_dp, tp=args.mesh_tp)
         else:
             mesh = pmesh.make_mesh(dp=args.mesh_dp, tp=args.mesh_tp)
-        params = pmesh.shard_params(params, pmesh.model_param_shardings(params, mesh))
+        shardings = (
+            pmesh.fsdp_param_shardings(params, mesh)
+            if args.fsdp
+            else pmesh.model_param_shardings(params, mesh)
+        )
+        params = pmesh.shard_params(params, shardings)
         n_data_shards = args.mesh_dcn * args.mesh_dp
-        print(f"mesh: {dict(mesh.shape)} ({n_data_shards} data shards)")
+        print(
+            f"mesh: {dict(mesh.shape)} ({n_data_shards} data shards"
+            f"{', fsdp' if args.fsdp else ''})"
+        )
 
     smoke = args.model_path is None
     if args.dataset_jsonl:

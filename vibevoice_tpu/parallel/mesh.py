@@ -100,6 +100,56 @@ def model_param_shardings(params: Dict, mesh: Mesh) -> Dict:
     return out
 
 
+def fsdp_param_shardings(
+    params: Dict,
+    mesh: Mesh,
+    *,
+    axis: str = "dp",
+    min_leaf_size: int = 1 << 16,
+) -> Dict:
+    """FSDP/ZeRO-3 shardings: every large parameter leaf additionally shards
+    one dimension over the data axis, on top of the TP plan.
+
+    The reference only gestures at FSDP ("for FSDP compatibility" buffer
+    comments, modeling_vibevoice.py:130-132, tie-before-FSDP :239-264); here
+    it is the idiomatic GSPMD form: parameters (and therefore the optimizer
+    state built from them — AdamW moments are zeros_like the params) live
+    sharded over the SAME axis the batch shards over, XLA all-gathers each
+    weight just-in-time for its matmul in forward/backward and
+    reduce-scatters its gradient. That is exactly ZeRO-3 dataflow, expressed
+    declaratively — no wrapper classes, no manual collectives.
+
+    For each leaf the largest dimension not already sharded (by tp) and
+    divisible by the axis size is picked; small leaves (< min_leaf_size
+    elements — norms, biases, scalars) stay on their TP-plan sharding, their
+    all-gather latency would cost more than the memory saved.
+
+    AdamW on a 7B bf16 model carries ~56 GB of f32 moments+master math —
+    unshardable on any single 16 GB chip; with fsdp over dp=4 the per-chip
+    optimizer-state footprint drops 4x while the tp axis keeps the matmul
+    sharding.
+    """
+    base = model_param_shardings(params, mesh)
+    n_shards = mesh.shape.get(axis, 1)
+    if n_shards == 1:
+        return base
+
+    def upgrade(p, ns):
+        if p.size < min_leaf_size:
+            return ns
+        spec = list(ns.spec) + [None] * (p.ndim - len(ns.spec))
+        cands = [
+            i for i in range(p.ndim) if spec[i] is None and p.shape[i] % n_shards == 0
+        ]
+        if not cands:
+            return ns
+        i = max(cands, key=lambda j: p.shape[j])
+        spec[i] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(upgrade, params, base)
+
+
 def batch_shardings(mesh: Mesh, batch_tree) -> Dict:
     """Shard every batch leaf on its leading (batch) axis over the data axes
     (("dcn", "dp") on a hybrid mesh, "dp" otherwise)."""
