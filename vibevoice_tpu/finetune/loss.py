@@ -141,6 +141,7 @@ def train_forward(
     key: jax.Array,
     opts: TrainOptions = TrainOptions(),
     noise_schedule: Optional[NoiseSchedule] = None,
+    lm_forward=None,
 ) -> TrainOut:
     hcfg = cfg.diffusion_head_config
     acfg = cfg.acoustic_tokenizer_config
@@ -178,10 +179,17 @@ def train_forward(
     )
 
     # ---- LM forward -------------------------------------------------------
-    hidden, _ = qwen2.forward(
-        cfg.decoder_config, params["lm"], embeds, valid_mask=batch.attention_mask,
-        remat=opts.remat,
-    )
+    # lm_forward lets a parallelism layout swap the stack implementation
+    # (parallel/pipeline.py GPipe); default is the dense qwen2 forward
+    if lm_forward is not None:
+        hidden = lm_forward(
+            cfg.decoder_config, params["lm"], embeds, batch.attention_mask, opts.remat
+        )
+    else:
+        hidden, _ = qwen2.forward(
+            cfg.decoder_config, params["lm"], embeds, valid_mask=batch.attention_mask,
+            remat=opts.remat,
+        )
 
     # ---- CE loss (mask pads + acoustic positions; reference
     #      train_vibevoice.py:183-190) ---------------------------------------

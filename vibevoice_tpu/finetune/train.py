@@ -72,6 +72,13 @@ def parse_args():
                     help="data-parallel replicas across slices/hosts (DCN axis)")
     ap.add_argument("--mesh_dp", type=int, default=1, help="in-slice data parallelism (ICI)")
     ap.add_argument("--mesh_tp", type=int, default=1, help="in-slice tensor parallelism (ICI)")
+    ap.add_argument("--mesh_pp", type=int, default=1,
+                    help="GPipe pipeline stages over a 'pp' mesh axis "
+                    "(parallel/pipeline.py); composes with --mesh_dp, "
+                    "exclusive with --mesh_tp/--mesh_dcn/--fsdp/--use_lora")
+    ap.add_argument("--pp_microbatches", type=int, default=2,
+                    help="micro-batches per step in the pipeline; "
+                    "per_device_batch_size must divide by this")
     ap.add_argument("--fsdp", action="store_true",
                     help="ZeRO-3: shard params + optimizer state over the dp "
                     "axis on top of the TP plan (parallel/mesh.py "
@@ -157,10 +164,31 @@ def main():
             speech_tok_compress_ratio=cfg.acoustic_tokenizer_config.hop_length,
         )
 
-    # ---- device mesh (DCN x DP x TP) -----------------------------------
+    # ---- device mesh (DCN x DP x TP, or DP x PP pipeline) ----------------
     mesh = None
     n_data_shards = 1
-    if args.mesh_dcn * args.mesh_dp * args.mesh_tp > 1:
+    lm_forward = None
+    if args.mesh_pp > 1:
+        if args.mesh_tp > 1 or args.mesh_dcn > 1 or args.fsdp or args.use_lora:
+            raise SystemExit("--mesh_pp composes only with --mesh_dp (full fine-tune)")
+        if args.lm_layers_to_freeze:
+            # per-layer freeze paths assume the list layout, not layers_stacked
+            raise SystemExit("--lm_layers_to_freeze is not supported with --mesh_pp")
+        if args.per_device_batch_size % args.pp_microbatches:
+            raise SystemExit(
+                f"--per_device_batch_size {args.per_device_batch_size} must divide "
+                f"by --pp_microbatches {args.pp_microbatches}"
+            )
+        from ..parallel import mesh as pmesh
+        from ..parallel import pipeline as pl
+
+        mesh = pl.make_pp_mesh(pp=args.mesh_pp, dp=args.mesh_dp)
+        params["lm"] = pl.stack_layers(params["lm"], args.mesh_pp)
+        params = jax.device_put(params, pl.pp_model_param_shardings(params, mesh))
+        lm_forward = pl.make_pp_lm_forward(mesh, n_microbatches=args.pp_microbatches)
+        n_data_shards = args.mesh_dp
+        print(f"mesh: {dict(mesh.shape)} ({args.pp_microbatches} micro-batches)")
+    elif args.mesh_dcn * args.mesh_dp * args.mesh_tp > 1:
         from ..parallel import mesh as pmesh
 
         if args.mesh_dcn > 1:
@@ -261,9 +289,14 @@ def main():
         step_fn = jax.jit(make_lora_train_step(cfg, optimizer, lora_cfg, opts))
     else:
         state = init_train_state(params, optimizer)
-        step_fn = jax.jit(make_train_step(cfg, optimizer, opts, trainable_filter=trainable))
+        step_fn = jax.jit(make_train_step(cfg, optimizer, opts, trainable_filter=trainable,
+                                          lm_forward=lm_forward))
 
-    eval_fn = jax.jit(make_eval_step(cfg, opts)) if eval_dataset is not None else None
+    eval_fn = (
+        jax.jit(make_eval_step(cfg, opts, lm_forward=lm_forward))
+        if eval_dataset is not None
+        else None
+    )
 
     ema = init_ema(params["diffusion_head"])
     start_step = 0
@@ -301,8 +334,15 @@ def main():
     # one collated batch must produce a finite CE before burning train time
     from .train_step import make_eval_step as _mes
 
-    probe = collator([dataset[i] for i in range(min(bs, len(dataset)))])
-    probe_out = _mes(cfg, opts)(
+    if lm_forward is not None:
+        # the pipeline needs the full (micro-batch-divisible) global batch
+        probe = collator([dataset[i % len(dataset)] for i in range(bs)])
+        from ..parallel import mesh as pmesh
+
+        probe = jax.device_put(probe, pmesh.batch_shardings(mesh, probe))
+    else:
+        probe = collator([dataset[i] for i in range(min(bs, len(dataset)))])
+    probe_out = _mes(cfg, opts, lm_forward=lm_forward)(
         state.params if not args.use_lora else merge_lora(params, state.params, lora_cfg),
         probe,
         jax.random.PRNGKey(0),
@@ -344,7 +384,14 @@ def main():
             from ..utils.hf_interop import save_native
 
             # EMA head swapped in at save (reference EmaCallback :86-95)
-            save_native(out, cfg, swap_in_ema(state.params, ema))
+            export = swap_in_ema(state.params, ema)
+            if args.mesh_pp > 1:
+                # checkpoints always use the per-layer list layout
+                from ..parallel import pipeline as pl
+
+                export = dict(export)
+                export["lm"] = pl.unstack_layers(export["lm"])
+            save_native(out, cfg, export)
         print(f"saved {out}")
 
     steps_per_epoch = max(1, len(dataset) // bs)

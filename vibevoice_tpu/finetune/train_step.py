@@ -68,18 +68,22 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     opts: TrainOptions = TrainOptions(),
     trainable_filter=None,
+    lm_forward=None,
 ):
     """Returns train_step(state, batch, key) -> (state, TrainOut).
 
     trainable_filter(path_tuple) -> bool freezes parameters (LoRA/selective
     unfreeze analog of reference train_vibevoice.py:390-468); frozen params
     get zero gradients.
+
+    lm_forward swaps the LM stack implementation (e.g. the GPipe pipeline of
+    parallel/pipeline.py; params["lm"] must then be in that layout).
     """
     hcfg = cfg.diffusion_head_config
     noise_schedule = NoiseSchedule.create(hcfg.ddpm_num_steps, hcfg.ddpm_beta_schedule)
 
     def loss_fn(params, batch, key):
-        out = train_forward(cfg, params, batch, key, opts, noise_schedule)
+        out = train_forward(cfg, params, batch, key, opts, noise_schedule, lm_forward)
         return out.loss, out
 
     def train_step(state: TrainState, batch: Batch, key) -> Tuple[TrainState, TrainOut]:
@@ -158,14 +162,16 @@ def build_trainable_filter(
     return trainable
 
 
-def make_eval_step(cfg: VibeVoiceConfig, opts: TrainOptions = TrainOptions()):
+def make_eval_step(
+    cfg: VibeVoiceConfig, opts: TrainOptions = TrainOptions(), lm_forward=None
+):
     """Loss-only forward for the held-out split (the reference gets its eval
     loop from HF Trainer for free; here it is one jitted function)."""
     hcfg = cfg.diffusion_head_config
     noise_schedule = NoiseSchedule.create(hcfg.ddpm_num_steps, hcfg.ddpm_beta_schedule)
 
     def eval_step(params, batch: Batch, key) -> TrainOut:
-        return train_forward(cfg, params, batch, key, opts, noise_schedule)
+        return train_forward(cfg, params, batch, key, opts, noise_schedule, lm_forward)
 
     return eval_step
 
