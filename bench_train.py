@@ -12,6 +12,10 @@ Memory levers that make this fit a 16 GB v5e at real sequence lengths:
     logits would be 2.5 GB per 4K-token sample
 
 Env overrides:
+  BENCH_TRAIN_CONFIG=f   config json (default qwen2.5_1.5b_64k.json;
+                         qwen2.5_7b_32k.json for the 7B)
+  BENCH_TRAIN_INT8=1     QLoRA: int8 frozen LM base + LoRA branches — the
+                         7B single-chip fine-tune config (lora mode only)
   BENCH_TRAIN_SEQ=N      sequence length (default 2048)
   BENCH_TRAIN_BATCH=N    batch size (default 2)
   BENCH_TRAIN_FRAMES=N   target speech frames per sample (default SEQ//8;
@@ -94,11 +98,36 @@ def main():
     n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", "4"))
     mode = os.environ.get("BENCH_TRAIN_MODE", "lora")
     ce_chunk = int(os.environ.get("BENCH_TRAIN_CE_CHUNK", "1024"))
+    cfg_name = os.environ.get("BENCH_TRAIN_CONFIG", "qwen2.5_1.5b_64k.json")
+    int8_base = os.environ.get("BENCH_TRAIN_INT8") == "1"
+    model_tag = "7B" if "7b" in cfg_name else "1.5B"
 
-    cfg = VibeVoiceConfig.from_json_file(
-        os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json")
-    )
-    params = dict(vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+    if int8_base:
+        # QLoRA: the frozen LM base lives int8 from the start (7B bf16 is
+        # 14 GB — it must never materialise; bench._load inits layer-by-layer
+        # straight into int8). The lm_head stays DENSE bf16: CE gradients
+        # flow through the logits matmul into the hidden states.
+        if mode != "lora":
+            raise SystemExit("BENCH_TRAIN_INT8=1 requires BENCH_TRAIN_MODE=lora")
+        import bench as _bench
+
+        cfg, params = _bench._load(cfg_name, lm_int8_inline=True)
+        params = dict(params)
+        params.pop("lm_head_q", None)
+        params["lm"] = dict(params["lm"])
+        params["lm"].pop("lm_head_q", None)
+        dc = cfg.decoder_config
+        if not dc.tie_word_embeddings:
+            params["lm_head"] = (
+                jax.random.normal(jax.random.PRNGKey(9), (dc.vocab_size, dc.hidden_size),
+                                  jnp.bfloat16) * dc.initializer_range
+            )
+        model_tag += "_int8base"
+    else:
+        cfg = VibeVoiceConfig.from_json_file(
+            os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", cfg_name)
+        )
+        params = dict(vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
     params["speech_scaling_factor"] = jnp.asarray(1.0)
     params["speech_bias_factor"] = jnp.asarray(0.0)
 
@@ -165,8 +194,11 @@ def main():
         3 * hcfg.hidden_size * int(hcfg.hidden_size * hcfg.head_ffn_ratio)
         + 4 * hcfg.hidden_size * hcfg.hidden_size
     )
+    # QLoRA (int8 base): no base weight-grads exist — the custom VJP computes
+    # only dx — so the LM costs fwd 2 + bwd-dx 2 + remat 2 = 6PT, not 8PT
+    lm_factor = 6 if int8_base else 8
     flops = (
-        8 * p_lm * tokens_per_step
+        lm_factor * p_lm * tokens_per_step
         + 6 * p_logits * tokens_per_step
         + 8 * p_head * tokens_per_step * opts.ddpm_batch_mul
     )
@@ -174,7 +206,7 @@ def main():
 
     lines = [
         {
-            "metric": f"train_tokens_per_sec_1.5B_{mode}_T{t}_B{b}",
+            "metric": f"train_tokens_per_sec_{model_tag}_{mode}_T{t}_B{b}",
             "value": round(tok_s, 1),
             "unit": "tokens/s/chip",
             "step_ms": round(step_sec * 1e3, 1),

@@ -33,6 +33,12 @@ class LoraConfig:
         return self.alpha / self.r
 
 
+def _entry_weight(p: Dict) -> jnp.ndarray:
+    """The base weight of a linear entry — dense 'w' or quantized 'w8'
+    (same (IN, OUT) shape either way)."""
+    return p["w"] if "w" in p else p["w8"]
+
+
 def _lora_pair(key, w: jnp.ndarray, r: int) -> Dict:
     cin, cout = w.shape
     k1, _ = jax.random.split(key)
@@ -51,10 +57,10 @@ def init_lora(key, params: Dict, cfg: LoraConfig) -> Dict:
         entry: Dict = {}
         for i, name in enumerate(("q", "k", "v", "o")):
             if name in cfg.target_modules:
-                entry[name] = _lora_pair(lk[i], layer["attn"][name]["w"], cfg.r)
+                entry[name] = _lora_pair(lk[i], _entry_weight(layer["attn"][name]), cfg.r)
         for i, name in enumerate(("gate", "up", "down")):
             if name in cfg.target_modules:
-                entry[name] = _lora_pair(lk[4 + i], layer["mlp"][name]["w"], cfg.r)
+                entry[name] = _lora_pair(lk[4 + i], _entry_weight(layer["mlp"][name]), cfg.r)
         lora["lm_layers"].append(entry)
     if cfg.train_diffusion_head:
         hk = jax.random.split(keys[-1], len(params["diffusion_head"]["layers"]) * 3)
@@ -76,8 +82,20 @@ def _merge(w: jnp.ndarray, pair: Dict, scaling: float) -> jnp.ndarray:
     return (w.astype(jnp.float32) + delta).astype(w.dtype)
 
 
+def _apply_entry(p: Dict, pair: Dict, scaling: float) -> Dict:
+    """Dense base: materialise the merged weight. int8 base (QLoRA — 7B
+    fine-tuning on one 16 GB chip): the low-rank branch cannot merge into the
+    quantized tensor, so attach it as a runtime "lora" entry — ops/quant.mm
+    computes y = x @ (w8*scale) + ((x @ A) @ B) * s with gradients flowing
+    only through A/B (the int8 matmul carries a custom VJP w.r.t. x)."""
+    if "w8" in p:
+        return {**p, "lora": (pair["a"], pair["b"], scaling)}
+    return {**p, "w": _merge(p["w"], pair, scaling)}
+
+
 def apply_lora(params: Dict, lora: Dict, cfg: LoraConfig) -> Dict:
-    """Return params with adapters merged (cheap; runs inside jit)."""
+    """Return params with adapters merged (cheap; runs inside jit); adapters
+    over int8 base weights attach as runtime branches instead (QLoRA)."""
     out = jax.tree.map(lambda x: x, params)  # shallow-ish structural copy
     out = dict(out)
     out["lm"] = dict(out["lm"])
@@ -86,16 +104,14 @@ def apply_lora(params: Dict, lora: Dict, cfg: LoraConfig) -> Dict:
         new_layer = {**layer, "attn": dict(layer["attn"]), "mlp": dict(layer["mlp"])}
         for name in ("q", "k", "v", "o"):
             if name in entry:
-                new_layer["attn"][name] = {
-                    **layer["attn"][name],
-                    "w": _merge(layer["attn"][name]["w"], entry[name], cfg.scaling),
-                }
+                new_layer["attn"][name] = _apply_entry(
+                    layer["attn"][name], entry[name], cfg.scaling
+                )
         for name in ("gate", "up", "down"):
             if name in entry:
-                new_layer["mlp"][name] = {
-                    **layer["mlp"][name],
-                    "w": _merge(layer["mlp"][name]["w"], entry[name], cfg.scaling),
-                }
+                new_layer["mlp"][name] = _apply_entry(
+                    layer["mlp"][name], entry[name], cfg.scaling
+                )
         layers.append(new_layer)
     out["lm"]["layers"] = layers
 

@@ -72,6 +72,10 @@ def parse_args():
                     help="data-parallel replicas across slices/hosts (DCN axis)")
     ap.add_argument("--mesh_dp", type=int, default=1, help="in-slice data parallelism (ICI)")
     ap.add_argument("--mesh_tp", type=int, default=1, help="in-slice tensor parallelism (ICI)")
+    ap.add_argument("--int8_base", action="store_true",
+                    help="QLoRA: store the frozen LM base int8 (requires "
+                    "--use_lora); adapters run as low-rank branches beside "
+                    "the int8 matmuls — 7B LoRA fine-tunes fit one 16 GB chip")
     ap.add_argument("--mesh_pp", type=int, default=1,
                     help="GPipe pipeline stages over a 'pp' mesh axis "
                     "(parallel/pipeline.py); composes with --mesh_dp, "
@@ -163,6 +167,22 @@ def main():
             tokenizer=FallbackTextTokenizer(),
             speech_tok_compress_ratio=cfg.acoustic_tokenizer_config.hop_length,
         )
+
+    if args.int8_base:
+        # QLoRA: the frozen LM base stores int8 (ops/quant.py); adapters
+        # attach as runtime low-rank branches (finetune/lora._apply_entry).
+        # ~4x less base-weight HBM — a 7B LoRA fine-tune fits ONE v5e chip.
+        if not args.use_lora:
+            raise SystemExit("--int8_base requires --use_lora (the base is frozen)")
+        if args.mesh_dcn * args.mesh_dp * args.mesh_tp * args.mesh_pp > 1:
+            # the TP/FSDP sharding tables map dense 'w' leaves; int8 QLoRA is
+            # the SINGLE-chip 7B story (that is its whole point)
+            raise SystemExit("--int8_base is a single-chip path (no mesh flags)")
+        from ..ops.quant import quantize_lm
+
+        params = dict(params)
+        params["lm"] = quantize_lm(params["lm"], quantize_lm_head=False)
+        print("int8 base: LM linears quantized (QLoRA)")
 
     # ---- device mesh (DCN x DP x TP, or DP x PP pipeline) ----------------
     mesh = None

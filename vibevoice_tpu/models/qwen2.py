@@ -191,7 +191,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _mm(x, p):
-    if "w8" in p or "w4" in p:
+    if "w8" in p or "w4" in p or "lora" in p:
         from ..ops.quant import mm as qmm
 
         return qmm(x, p)

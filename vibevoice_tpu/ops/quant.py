@@ -257,14 +257,55 @@ def int4_matmul(x: jnp.ndarray, w4: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
     return y.reshape(*orig_shape[:-1], cout)
 
 
+@jax.custom_vjp
+def _int8_matmul_dx(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """int8_matmul with a custom VJP w.r.t. the ACTIVATIONS only (the int8
+    weights are frozen — QLoRA training). The Pallas forward has no autodiff
+    rule; the backward is dx = (g * scale) @ w8^T as one convert+dot (XLA
+    fuses the int8->bf16 convert into the transposed matmul loads; this runs
+    once per linear per step, not in the decode hot loop). Weights/scale are
+    explicit primals (a tracer-closing custom_vjp leaks under remat); their
+    cotangents are float0 / zeros — frozen by construction."""
+    return int8_matmul(x, w8, scale)
+
+
+def _int8_dx_fwd(x, w8, scale):
+    return int8_matmul(x, w8, scale), (w8, scale)
+
+
+def _int8_dx_bwd(res, g):
+    import numpy as np
+
+    w8, scale = res
+    gs = (g.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    g2 = gs.reshape(-1, w8.shape[1])
+    dx = jnp.dot(g2, w8.astype(jnp.bfloat16).T)
+    return (
+        dx.reshape(*g.shape[:-1], w8.shape[0]).astype(g.dtype),
+        np.zeros(w8.shape, dtype=jax.dtypes.float0),
+        jnp.zeros_like(scale),
+    )
+
+
+_int8_matmul_dx.defvjp(_int8_dx_fwd, _int8_dx_bwd)
+
+
 def mm(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
-    """Linear apply dispatching on quantized vs dense weights."""
+    """Linear apply dispatching on quantized vs dense weights.
+
+    A "lora" entry ((A (IN,r), B (r,OUT), scaling) — finetune/lora.attach
+    semantics) adds the low-rank branch at runtime: y += ((x @ A) @ B) * s.
+    That is the QLoRA path — the int8 base stays frozen (and differentiable
+    w.r.t. x via _int8_matmul_dx), gradients flow only through A/B."""
     if "w8" in p:
-        y = int8_matmul(x, p["w8"], p["scale"])
+        y = (_int8_matmul_dx if "lora" in p else int8_matmul)(x, p["w8"], p["scale"])
     elif "w4" in p:
         y = int4_matmul(x, p["w4"], p["scale"])
     else:
         y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "lora" in p:
+        a, b, s = p["lora"]
+        y = y + ((x @ a.astype(x.dtype)) @ b.astype(x.dtype)) * jnp.asarray(s, y.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
