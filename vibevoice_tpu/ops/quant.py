@@ -295,10 +295,16 @@ def mm(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
 
     A "lora" entry ((A (IN,r), B (r,OUT), scaling) — finetune/lora.attach
     semantics) adds the low-rank branch at runtime: y += ((x @ A) @ B) * s.
-    That is the QLoRA path — the int8 base stays frozen (and differentiable
-    w.r.t. x via _int8_matmul_dx), gradients flow only through A/B."""
+    That is the QLoRA path — the int8 base stays frozen, gradients flow only
+    through A/B.
+
+    int8 applies always ride _int8_matmul_dx: identical compiled forward,
+    and reverse-mode works w.r.t. the ACTIVATIONS wherever an int8 base
+    sits inside a training graph (QLoRA, or connector/head training under a
+    frozen int8 LM). int8 weights are frozen by construction — their
+    cotangents are defined zero, never an error."""
     if "w8" in p:
-        y = (_int8_matmul_dx if "lora" in p else int8_matmul)(x, p["w8"], p["scale"])
+        y = _int8_matmul_dx(x, p["w8"], p["scale"])
     elif "w4" in p:
         y = int4_matmul(x, p["w4"], p["scale"])
     else:
