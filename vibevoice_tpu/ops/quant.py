@@ -300,8 +300,9 @@ def mm(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
 
     int8 applies always ride _int8_matmul_dx: identical compiled forward,
     and reverse-mode works w.r.t. the ACTIVATIONS wherever an int8 base
-    sits inside a training graph (QLoRA, or connector/head training under a
-    frozen int8 LM). int8 weights are frozen by construction — their
+    sits inside a training graph (the trainer wires this as QLoRA,
+    --int8_base; custom training code differentiating w.r.t. non-LM leaves
+    gets the same dx path). int8 weights are frozen by construction — their
     cotangents are defined zero, never an error."""
     if "w8" in p:
         y = _int8_matmul_dx(x, p["w8"], p["scale"])
