@@ -51,6 +51,26 @@ def test_mm_lora_gradients_match_dense():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=0.1)
 
 
+def test_int8_matmul_t_kernel_parity():
+    """The transposed-contraction Pallas kernel (QLoRA backward dx) matches
+    the XLA dequantize-then-dot formulation at kernel-eligible shapes."""
+    rng = np.random.RandomState(1)
+    cin, cout, rows = 512, 1024, 16
+    w = jnp.asarray(rng.randn(cin, cout).astype(np.float32))
+    q = quant.quantize_weight(w)
+    g = jnp.asarray(rng.randn(rows, cout).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+
+    want = jnp.dot(
+        (g.astype(jnp.float32) * q["scale"]).astype(jnp.bfloat16),
+        q["w8"].astype(jnp.bfloat16).T,
+    ).astype(jnp.bfloat16)
+    got = quant.int8_matmul_t(g, q["w8"], q["scale"], interpret=True)
+    assert got.dtype == g.dtype and got.shape == (rows, cin)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_apply_lora_attaches_on_int8_base():
     from vibevoice_tpu.finetune.lora import LoraConfig, apply_lora, init_lora
 

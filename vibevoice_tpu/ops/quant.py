@@ -171,6 +171,80 @@ def int8_matmul(
     return y[:rows].reshape(*orig_shape[:-1], cout)
 
 
+def _kernel_t(g_ref, w8_ref, scale_ref, o_ref, acc_ref, *, n_k: int):
+    """Transposed-contraction variant: dx (R, BI) += (g*scale) @ w8^T, with
+    the per-output-channel scale folded into g in-kernel. w8 blocks stream
+    int8 (half the bytes of a dequantized bf16 transpose, and no multi-GB
+    materialised W^T — the QLoRA backward's weight read)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    gb = (g_ref[...].astype(jnp.float32) * scale_ref[...].astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )  # (R, BO)
+    wb = w8_ref[...].astype(jnp.bfloat16)  # (BI, BO)
+    acc_ref[...] += jax.lax.dot_general(
+        gb, wb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def int8_matmul_t(
+    g: jnp.ndarray,  # (..., OUT)
+    w8: jnp.ndarray,  # (IN, OUT) int8
+    scale: jnp.ndarray,  # (OUT,) f32
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dx = g @ (w8 * scale)^T — the backward of int8_matmul w.r.t. x.
+
+    Same streaming structure as the forward kernel with the contraction on
+    w8's OUTPUT dim, so the stored (IN, OUT) int8 tensor serves both passes
+    (no transposed copy, which would double weight HBM)."""
+    orig_shape = g.shape
+    cin, cout = w8.shape
+    g2 = g.reshape(-1, cout)
+    rows = g2.shape[0]
+    r_pad = max(8, -(-rows // 8) * 8)
+    if r_pad != rows:
+        g2 = jnp.pad(g2, ((0, r_pad - rows), (0, 0)))
+    picked = None
+    if cin % 512 == 0 and cout % 512 == 0:
+        # same divisor picker as the forward; the roles of the dims swap
+        # (grid tiles (BI out-rows, BO contraction))
+        picked = _pick_blocks(cout, cin, r_pad, g.dtype.itemsize)
+        if picked and (picked[1] < 512 or picked[0] < 256):
+            picked = None
+    if QUANT_IMPL == "xla" or not picked:
+        gs = (g2.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        dx = jnp.dot(gs, w8.astype(jnp.bfloat16).T)
+        return dx[:rows].reshape(*orig_shape[:-1], cin).astype(g.dtype)
+    block_o, block_i = picked
+    n_k = cout // block_o
+    n_i = cin // block_i
+    kernel = functools.partial(_kernel_t, n_k=n_k)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_k),
+        in_specs=[
+            pl.BlockSpec((r_pad, block_o), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_i, block_o), lambda j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r_pad, block_i), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, cin), g.dtype),
+        scratch_shapes=[pltpu.VMEM((r_pad, block_i), jnp.float32)],
+        interpret=interpret,
+    )(g2, w8, scale.reshape(1, -1))
+    return y[:rows].reshape(*orig_shape[:-1], cin)
+
+
 # ---------------------------------------------------------------------------
 # Model-level quantization
 # ---------------------------------------------------------------------------
@@ -277,11 +351,9 @@ def _int8_dx_bwd(res, g):
     import numpy as np
 
     w8, scale = res
-    gs = (g.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-    g2 = gs.reshape(-1, w8.shape[1])
-    dx = jnp.dot(g2, w8.astype(jnp.bfloat16).T)
+    dx = int8_matmul_t(g, w8, scale)
     return (
-        dx.reshape(*g.shape[:-1], w8.shape[0]).astype(g.dtype),
+        dx,
         np.zeros(w8.shape, dtype=jax.dtypes.float0),
         jnp.zeros_like(scale),
     )
