@@ -25,6 +25,8 @@ Env overrides:
   BENCH_TRAIN_MODE=...   "lora" (default) | "head" (diffusion head +
                          connectors full fine-tune, LM frozen)
   BENCH_TRAIN_CE_CHUNK=N CE chunk tokens (default 1024)
+  BENCH_TRAIN_REMAT_POLICY=dots  save matmul outputs in remat (faster
+                         backward, more memory)
 
 Prints one JSON line per metric (tokens/s headline, then step time + MFU).
 """
@@ -131,7 +133,8 @@ def main():
     params["speech_scaling_factor"] = jnp.asarray(1.0)
     params["speech_bias_factor"] = jnp.asarray(0.0)
 
-    opts = TrainOptions(remat=True, ce_chunk_size=ce_chunk)
+    opts = TrainOptions(remat=True, ce_chunk_size=ce_chunk,
+                    remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY") or None)
     batch = make_synthetic_batch(cfg, b, t, frames)
     key = jax.random.PRNGKey(1)
 

@@ -100,6 +100,16 @@ def test_remat_chunked_ce_match(params):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
+    # the "dots" saveable policy (keep matmul outputs, recompute elementwise)
+    # is exact too — only the memory/time point moves
+    out_c = train_forward(
+        CFG, params, batch, key, TrainOptions(remat=True, remat_policy="dots")
+    )
+    np.testing.assert_allclose(float(out_a.loss), float(out_c.loss), rtol=1e-5)
+    g_c = jax.grad(loss)(params, TrainOptions(remat=True, remat_policy="dots"))
+    for a, c in zip(flat_a, jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4, atol=1e-6)
+
 
 def test_lora_zero_init_is_identity(params):
     cfg = LoraConfig(r=4, alpha=8)

@@ -46,6 +46,12 @@ class TrainOptions:
     # sample) never materialise. Both are exact (same loss/grads).
     remat: bool = False
     ce_chunk_size: int = 0
+    # remat_policy="dots" saves each layer's matmul OUTPUTS and recomputes
+    # only the cheap elementwise work in backward
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable): faster
+    # backward than full remat, more memory — the middle point on the
+    # memory/time curve. Same loss/grads either way.
+    remat_policy: Optional[str] = None  # None (= save nothing) | "dots"
 
 
 class Batch(NamedTuple):
@@ -73,6 +79,14 @@ class TrainOut(NamedTuple):
     ce_max: jnp.ndarray = jnp.zeros(())
     ce_accuracy: jnp.ndarray = jnp.zeros(())
     speech_frame_count: jnp.ndarray = jnp.zeros((), jnp.int32)
+
+
+def _resolve_remat_policy(name: Optional[str]):
+    if name is None:
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r} (None | 'dots')")
 
 
 def _masked_std_mean(x: jnp.ndarray, mask: jnp.ndarray, dp_axis: Optional[str]):
@@ -188,7 +202,7 @@ def train_forward(
     else:
         hidden, _ = qwen2.forward(
             cfg.decoder_config, params["lm"], embeds, valid_mask=batch.attention_mask,
-            remat=opts.remat,
+            remat=opts.remat, remat_policy=_resolve_remat_policy(opts.remat_policy),
         )
 
     # ---- CE loss (mask pads + acoustic positions; reference
@@ -238,7 +252,9 @@ def train_forward(
     if opts.remat:
         # the head runs on B*T*batch_mul rows; recompute its 4 AdaLN layers in
         # backward rather than keeping their FFN intermediates
-        head_fn = jax.checkpoint(head_fn)
+        head_fn = jax.checkpoint(
+            head_fn, policy=_resolve_remat_policy(opts.remat_policy)
+        )
     pred = head_fn(
         params["diffusion_head"], noisy.astype(dtype), timesteps.astype(jnp.float32), cond.astype(dtype)
     ).astype(jnp.float32)

@@ -103,6 +103,9 @@ def parse_args():
     ap.add_argument("--ce_chunk_size", type=int, default=0,
                     help="compute CE logits in sequence chunks of this many tokens "
                     "(0 = dense); avoids the (B,T,vocab) float32 logits buffer")
+    ap.add_argument("--remat_policy", type=str, default=None, choices=[None, "dots"],
+                    help="with --remat: 'dots' keeps matmul outputs and recomputes "
+                    "only elementwise work in backward (faster, more memory)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--report_to", type=str, default=None, choices=[None, "wandb"],
                     help="metric sink (reference routes Trainer logs to wandb)")
@@ -270,6 +273,7 @@ def main():
         ddpm_batch_mul=args.ddpm_batch_mul,
         remat=args.remat,
         ce_chunk_size=args.ce_chunk_size,
+        remat_policy=args.remat_policy,
     )
     def parse_idx(s):
         return tuple(int(x) for x in s.split(",") if x.strip()) if s else ()

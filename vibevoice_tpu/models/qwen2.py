@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -422,6 +424,7 @@ def forward(
     layer_range: Optional[Tuple[int, int]] = None,
     skip_final_norm: bool = False,
     remat: bool = False,
+    remat_policy=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the LM over a chunk of embeddings.
 
@@ -443,6 +446,10 @@ def forward(
         memory: only the residual stream survives between layers, which is
         what lets a 1.5B fine-tune step at multi-K sequence lengths fit a
         single 16 GB chip.
+      remat_policy: jax.checkpoint saveable-policy for the remat blocks
+        (e.g. checkpoint_policies.dots_with_no_batch_dims_saveable — keep
+        matmul outputs, recompute only elementwise; faster backward, more
+        memory). None = save nothing.
 
     Returns (hidden (B, T, H), new_cache).
     """
@@ -507,7 +514,7 @@ def forward(
         if cache is not None:
             raise ValueError("remat is a training-path option (cache must be None)")
 
-        @jax.checkpoint
+        @functools.partial(jax.checkpoint, policy=remat_policy)
         def _ckpt_layer(lp, x, cos, sin, mask, train_valid):
             return _layer(cfg, lp, x, cos, sin, mask=mask, cache_kv=None, offsets=None,
                           flash=False, train_valid=train_valid)[0]
