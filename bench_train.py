@@ -109,8 +109,8 @@ def main():
         # 14 GB — it must never materialise; bench._load inits layer-by-layer
         # straight into int8). The lm_head stays DENSE bf16: CE gradients
         # flow through the logits matmul into the hidden states.
-        if mode != "lora":
-            raise SystemExit("BENCH_TRAIN_INT8=1 requires BENCH_TRAIN_MODE=lora")
+        if mode not in ("lora", "head"):
+            raise SystemExit("BENCH_TRAIN_INT8=1 requires BENCH_TRAIN_MODE=lora|head")
         import bench as _bench
 
         cfg, params = _bench._load(cfg_name, lm_int8_inline=True)
@@ -148,6 +148,22 @@ def main():
 
         def run(state, k):
             return step(state, params, batch, k)
+
+    elif mode == "head" and int8_base:
+        # head/connector fine-tune over the frozen int8 LM: grads only for
+        # the trained components (jax.grad never sees the int8 leaves)
+        from vibevoice_tpu.finetune.train_step import make_component_train_step
+
+        sub_keys = ("diffusion_head", "acoustic_connector", "semantic_connector")
+        sub = {k: params[k] for k in sub_keys}
+        frozen = {k: v for k, v in params.items() if k not in sub_keys}
+        optimizer = make_optimizer(total_steps=1000)
+        raw_step = make_component_train_step(cfg, optimizer, opts)
+        state = init_train_state(sub, optimizer)
+        step = jax.jit(raw_step, donate_argnums=0)
+
+        def run(state, k):
+            return step(state, frozen, batch, k)
 
     elif mode == "head":
         trainable = build_trainable_filter(train_connectors=True, train_diffusion_head=True,

@@ -144,3 +144,64 @@ def test_qlora_train_step():
     b_new = np.asarray(qstate.params["lm_layers"][0]["q"]["b"])
     b_old = np.asarray(lora0["lm_layers"][0]["q"]["b"])
     assert np.abs(b_new - b_old).max() > 0
+
+
+def test_component_train_step_int8_base():
+    """Head/connector fine-tune over a frozen int8 LM: jax.grad only sees
+    the trained components (int8 leaves never enter the differentiated
+    pytree), loss matches the dense-base filtered step, head params move."""
+    from vibevoice_tpu.finetune.loss import Batch, TrainOptions
+    from vibevoice_tpu.finetune.train_step import (
+        build_trainable_filter,
+        init_train_state,
+        make_component_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    full = dict(vv.init(jax.random.PRNGKey(0), CFG))
+    full["speech_scaling_factor"] = jnp.asarray(1.0)
+    full["speech_bias_factor"] = jnp.asarray(0.0)
+
+    b, t, f = 2, 32, 4
+    hop = CFG.acoustic_tokenizer_config.hop_length
+    rng = np.random.RandomState(0)
+    am = np.zeros((b, t), bool)
+    am[:, 8 : 8 + f] = True
+    batch = Batch(
+        input_ids=jnp.asarray(rng.randint(10, 100, (b, t)).astype(np.int32)),
+        attention_mask=jnp.ones((b, t), bool),
+        speech_tensors=jnp.asarray(rng.randn(b, hop * f).astype(np.float32)),
+        speech_masks=jnp.ones((b, f), bool),
+        speech_semantic_tensors=jnp.asarray(
+            rng.randn(b, f, CFG.semantic_vae_dim).astype(np.float32)
+        ),
+        speeches_loss_input=jnp.ones((b,), bool),
+        acoustic_input_mask=jnp.asarray(am),
+        acoustic_loss_mask=jnp.asarray(am),
+    )
+    optimizer = make_optimizer(warmup_steps=1)
+
+    # dense reference: the filtered full step with the LM + embeds frozen
+    nl = CFG.decoder_config.num_hidden_layers
+    filt = build_trainable_filter(
+        train_connectors=True, train_diffusion_head=True,
+        lm_layers_to_freeze=tuple(range(nl)),
+    )
+    dense_step = jax.jit(make_train_step(CFG, optimizer, TrainOptions(), trainable_filter=filt))
+    _, dout = dense_step(init_train_state(full, optimizer), batch, jax.random.PRNGKey(2))
+
+    qparams = {**full, "lm": quant.quantize_lm(full["lm"], quantize_lm_head=False)}
+    sub_keys = ("diffusion_head", "acoustic_connector", "semantic_connector")
+    sub = {k: qparams[k] for k in sub_keys}
+    frozen = {k: v for k, v in qparams.items() if k not in sub_keys}
+    step = jax.jit(make_component_train_step(CFG, optimizer, TrainOptions()))
+    state = init_train_state(sub, optimizer)
+    state, out = step(state, frozen, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(out.loss))
+    np.testing.assert_allclose(float(out.loss), float(dout.loss), rtol=0.05)
+
+    state, _ = step(state, frozen, batch, jax.random.PRNGKey(3))  # lr > 0
+    w_new = np.asarray(state.params["diffusion_head"]["layers"][0]["ffn"]["gate"]["w"])
+    w_old = np.asarray(sub["diffusion_head"]["layers"][0]["ffn"]["gate"]["w"])
+    assert np.abs(w_new - w_old).max() > 0

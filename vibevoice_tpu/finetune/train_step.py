@@ -162,6 +162,50 @@ def build_trainable_filter(
     return trainable
 
 
+def make_component_train_step(
+    cfg: VibeVoiceConfig,
+    optimizer: optax.GradientTransformation,
+    opts: TrainOptions = TrainOptions(),
+    train_keys: Tuple[str, ...] = (
+        "diffusion_head",
+        "acoustic_connector",
+        "semantic_connector",
+    ),
+):
+    """Training step that differentiates ONLY the listed top-level components
+    (the reference's train_diffusion_head / train_connectors modes with the
+    LM frozen, train_vibevoice.py:390-468). Unlike make_train_step +
+    trainable_filter — which asks jax.grad for every leaf and zeroes frozen
+    ones — the frozen remainder here is a non-differentiated argument, so:
+
+      * an int8-quantized frozen LM base works (jax.grad never sees the
+        integer leaves — a 7B head fine-tune fits one 16 GB chip), and
+      * optimizer state exists only for the trained components.
+
+    Returns step(state, frozen_params, batch, key) -> (state, TrainOut);
+    init state with init_train_state({k: params[k] for k in train_keys}).
+    NOTE: the first-batch speech scaling/bias stats land in TrainOut — when
+    frozen_params starts with NaN buffers the caller persists them
+    (frozen["speech_scaling_factor"] = out.speech_scaling_factor) after the
+    first step, mirroring what make_train_step does in-graph.
+    """
+    hcfg = cfg.diffusion_head_config
+    noise_schedule = NoiseSchedule.create(hcfg.ddpm_num_steps, hcfg.ddpm_beta_schedule)
+
+    def loss_fn(sub, frozen, batch, key):
+        params = {**frozen, **sub}
+        out = train_forward(cfg, params, batch, key, opts, noise_schedule)
+        return out.loss, out
+
+    def step(state: TrainState, frozen_params, batch: Batch, key):
+        grads, out = jax.grad(loss_fn, has_aux=True)(state.params, frozen_params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        sub = optax.apply_updates(state.params, updates)
+        return TrainState(params=sub, opt_state=opt_state, step=state.step + 1), out
+
+    return step
+
+
 def make_eval_step(
     cfg: VibeVoiceConfig, opts: TrainOptions = TrainOptions(), lm_forward=None
 ):
