@@ -204,7 +204,7 @@ def main():
     #   backward-through-inputs 2PT + weight-grads 2PT (LoRA still computes
     #   the merged-weight grad before contracting to the factors) + remat
     #   re-forward 2PT -> 8PT total; CE logits fwd+bwd+remat ~ 6x; the
-    #   acoustic encoder runs forward-only under stop_gradient.
+    #   acoustic encoder runs forward-only under stop_gradient (counted 2x).
     dc = cfg.decoder_config
     p_lm = lm_matmul_params(dc)
     p_logits = dc.hidden_size * dc.vocab_size
@@ -216,10 +216,29 @@ def main():
     # QLoRA (int8 base): no base weight-grads exist — the custom VJP computes
     # only dx — so the LM costs fwd 2 + bwd-dx 2 + remat 2 = 6PT, not 8PT
     lm_factor = 6 if int8_base else 8
+    # attention score/value matmuls: fwd = 2 * 2 * qh * T_causal per token
+    # with T_causal ~ T/2 (both the masked path's DCE'd upper triangle and
+    # the flash kernel's skipped blocks); bwd ~ 2x fwd, remat re-fwd 1x
+    qh = dc.num_attention_heads * dc.head_dim
+    attn_per_tok = dc.num_hidden_layers * 2 * qh * t  # = 4*qh*(T/2)
+    # acoustic encoder forward (stop_gradient): dominated by the conv stack
+    # at the wav-sample rate; count 2 * conv-params * samples as a floor
+    enc_flops = 0.0
+    if frames:
+        acfg = cfg.acoustic_tokenizer_config
+        # rough conv MAC model: channels double per downsample stage from
+        # n_filters at the full 24 kHz rate; the first stages dominate
+        c, rate, total_macs = acfg.encoder_n_filters, b * frames * acfg.hop_length, 0
+        for ratio in acfg.encoder_ratios[::-1]:
+            total_macs += rate * c * c * 7  # depthwise/mixer + MLP floor
+            rate //= ratio
+            c *= 2
+        enc_flops = 2 * 2 * total_macs  # 2 flops/MAC, ~2 blocks deep/stage
     flops = (
-        lm_factor * p_lm * tokens_per_step
+        (lm_factor * p_lm + 4 * attn_per_tok) * tokens_per_step  # attn: fwd+refwd+2x bwd
         + 6 * p_logits * tokens_per_step
         + 8 * p_head * tokens_per_step * opts.ddpm_batch_mul
+        + enc_flops
     )
     mfu = flops / step_sec / 197e12  # v5e bf16 peak 197 TFLOP/s
 

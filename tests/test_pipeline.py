@@ -67,6 +67,53 @@ def test_pipelined_forward_matches(params):
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_pipelined_grads_match_dense(params):
+    """Gradient parity: jax.grad through the pipelined forward (ppermute +
+    scan + psum backward) equals the dense-forward gradients, per stage —
+    the pin the docstring's 'grads match to float associativity' claim
+    stands on."""
+    mesh = pl.make_pp_mesh(pp=4, dp=2)
+    dcfg = CFG.decoder_config
+    b, t = 4, 12
+    ids = jax.random.randint(jax.random.PRNGKey(3), (b, t), 0, dcfg.vocab_size)
+    valid = np.ones((b, t), bool)
+    valid[2, 7:] = False
+    valid = jnp.asarray(valid)
+    x = qwen2.embed_tokens(params["lm"], ids)
+    # scalar objective touching every position; valid-masked so pad garbage
+    # cannot leak into the comparison
+    w = jax.random.normal(jax.random.PRNGKey(4), (b, t, dcfg.hidden_size))
+    wm = w * valid[..., None]
+
+    def dense_loss(layers, e):
+        lm = dict(params["lm"])
+        lm["layers"] = layers
+        h, _ = qwen2.forward(dcfg, lm, e, valid_mask=valid)
+        return jnp.sum(h * wm)
+
+    ref_gl, ref_gx = jax.grad(dense_loss, argnums=(0, 1))(params["lm"]["layers"], x)
+
+    stacked = pl.stack_layers(params["lm"], pp=4)
+    sh = pl.pp_lm_param_shardings(stacked, mesh)
+    stacked_dev = jax.device_put(stacked, sh)
+
+    def pp_loss(layers_stacked, e):
+        lm = dict(stacked)
+        lm["layers_stacked"] = layers_stacked
+        h = pl.pipelined_forward(dcfg, lm, e, mesh, valid_mask=valid, n_microbatches=2)
+        return jnp.sum(h * wm)
+
+    pp_gl, pp_gx = jax.jit(jax.grad(pp_loss, argnums=(0, 1)))(
+        stacked_dev["layers_stacked"], x
+    )
+    # f32 associativity: backward reassociates across ppermute/psum/scan,
+    # so per-element rel diffs up to ~1e-4 are expected on O(100) grads
+    np.testing.assert_allclose(np.asarray(pp_gx), np.asarray(ref_gx), rtol=3e-4, atol=3e-4)
+    ref_gl_stacked = pl.stack_layers({"layers": ref_gl}, pp=4)["layers_stacked"]
+    for pa, ra in zip(jax.tree_util.tree_leaves(pp_gl), jax.tree_util.tree_leaves(ref_gl_stacked)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(ra), rtol=3e-4, atol=3e-4)
+
+
 def test_pp_train_step_matches(params):
     """Full training step with the LM routed through the pipeline: loss
     equals the dense step (grads flow through ppermute + scan + psum)."""

@@ -36,6 +36,13 @@ class LoraConfig:
 def _entry_weight(p: Dict) -> jnp.ndarray:
     """The base weight of a linear entry — dense 'w' or quantized 'w8'
     (same (IN, OUT) shape either way)."""
+    if "w4" in p:
+        raise NotImplementedError(
+            "LoRA over an int4 base is unsupported: the int4 matmul has no "
+            "activation-gradient VJP (and the axon backend cannot run S4 "
+            "transfers — CLAUDE.md int4 probe). Use int8 (--int8_base) "
+            "or a dense base."
+        )
     return p["w"] if "w" in p else p["w8"]
 
 

@@ -197,7 +197,8 @@ def train_forward(
     # (parallel/pipeline.py GPipe); default is the dense qwen2 forward
     if lm_forward is not None:
         hidden = lm_forward(
-            cfg.decoder_config, params["lm"], embeds, batch.attention_mask, opts.remat
+            cfg.decoder_config, params["lm"], embeds, batch.attention_mask, opts.remat,
+            _resolve_remat_policy(opts.remat_policy),
         )
     else:
         hidden, _ = qwen2.forward(

@@ -188,6 +188,11 @@ def main():
         print("int8 base: LM linears quantized (QLoRA)")
 
     # ---- device mesh (DCN x DP x TP, or DP x PP pipeline) ----------------
+    if args.fsdp and args.mesh_dcn * args.mesh_dp == 1:
+        raise SystemExit(
+            "--fsdp shards parameters/optimizer state over the data axis; "
+            "it needs --mesh_dp (or --mesh_dcn) > 1 to do anything"
+        )
     mesh = None
     n_data_shards = 1
     lm_forward = None

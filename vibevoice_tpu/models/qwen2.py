@@ -260,6 +260,27 @@ def _train_flash_enabled(t: int) -> bool:
     return env == "1" or t >= 8192
 
 
+def train_attention_inputs(cfg, valid_mask: jnp.ndarray):
+    """Positions, (B,T,T) attention mask, and the flash-path `train_valid`
+    for the NO-CACHE training forward of a right-padded batch. Shared by
+    `forward` and the GPipe pipeline (parallel/pipeline.py) so the two
+    stacks cannot silently diverge on mask/rope/flash-dispatch semantics.
+
+    train_valid is non-None when the differentiable Pallas flash kernel
+    applies (TPU backend gate in _train_flash_enabled, 128-lane heads,
+    512-aligned T); the dense mask is DCE'd by XLA in that case."""
+    t = valid_mask.shape[1]
+    positions = jnp.cumsum(valid_mask.astype(jnp.int32), axis=1) - 1
+    positions = jnp.maximum(positions, 0)
+    ji = jnp.arange(t)
+    causal = ji[:, None] >= ji[None, :]  # (T, T): query i attends key j <= i
+    mask = valid_mask[:, None, :] & causal[None]
+    train_valid = None
+    if _train_flash_enabled(t) and cfg.head_dim % 128 == 0 and t % 512 == 0:
+        train_valid = valid_mask
+    return positions, mask, train_valid
+
+
 def _attention_train_flash(q, k, v, valid):
     """Training-path (no-cache) flash attention via the Pallas TPU kernel
     bundled with JAX (jax.experimental.pallas.ops.tpu.flash_attention) —
@@ -485,19 +506,10 @@ def forward(
             causal = j[None, None, :] <= q_abs[:, :, None]  # (B, T, S)
             mask = key_valid[:, None, :] & causal
     else:
-        positions = jnp.cumsum(valid_mask.astype(jnp.int32), axis=1) - 1
-        positions = jnp.maximum(positions, 0)
-        ji = jnp.arange(t)
-        causal = ji[:, None] >= ji[None, :]  # (T, T): query i attends key j <= i
-        mask = valid_mask[:, None, :] & causal[None]
+        positions, mask, train_valid = train_attention_inputs(cfg, valid_mask)
         offsets = None
-
-    # Training path (no cache) on TPU rides the differentiable Pallas flash
-    # kernel when shapes allow (128-lane heads; 512-aligned sequence for the
-    # kernel's default block sizes). The (B,T,T) mask above is DCE'd by XLA.
-    train_valid = None
-    if cache is None and _train_flash_enabled(t) and cfg.head_dim % 128 == 0 and t % 512 == 0:
-        train_valid = valid_mask
+    if cache is not None:
+        train_valid = None
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, embeds.dtype)
 

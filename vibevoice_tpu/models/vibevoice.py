@@ -78,7 +78,11 @@ def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
 
         if "w4" in head_q:  # experimental int4 probe (quantize_weight bits=4)
             return quant.int4_matmul(hidden, head_q["w4"], head_q["scale"])
-        return quant.int8_matmul(hidden, head_q["w8"], head_q["scale"])
+        # _int8_matmul_dx, not raw int8_matmul: identical compiled forward,
+        # but CE gradients can flow through a quantized lm_head into the
+        # hidden states (the head/connector fine-tune over an int8 LM keeps
+        # lm_head_q in the graph; the raw Pallas kernel has no autodiff rule)
+        return quant._int8_matmul_dx(hidden, head_q["w8"], head_q["scale"])
     w = params.get("lm_head")
     if w is None:
         w = params["lm"]["embed"]

@@ -115,22 +115,20 @@ def pp_model_param_shardings(params: Dict, mesh: Mesh) -> Dict:
     return out
 
 
-def _mb_forward(cfg: Qwen2Config, stage_layers, x, valid, remat: bool):
-    """One micro-batch through this device's local layers — same mask/rope
-    construction as qwen2.forward's training path (models/qwen2.py)."""
-    b, t, h = x.shape
-    positions = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1, 0)
-    ji = jnp.arange(t)
-    causal = ji[:, None] >= ji[None, :]
-    mask = valid[:, None, :] & causal[None]
+def _mb_forward(cfg: Qwen2Config, stage_layers, x, valid, remat: bool, remat_policy=None):
+    """One micro-batch through this device's local layers. Mask/rope/flash
+    dispatch comes from qwen2.train_attention_inputs — the SAME construction
+    as qwen2.forward's training path, so the pipeline also rides the
+    differentiable flash kernel at long T."""
+    positions, mask, train_valid = qwen2.train_attention_inputs(cfg, valid)
     cos, sin = qwen2.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, x.dtype)
 
     def body(x, lp):
         def run(lp, x):
-            return qwen2._layer(cfg, lp, x, cos, sin, mask=mask)[0]
+            return qwen2._layer(cfg, lp, x, cos, sin, mask=mask, train_valid=train_valid)[0]
 
         if remat:
-            run = jax.checkpoint(run)
+            run = jax.checkpoint(run, policy=remat_policy)
         return run(lp, x), None
 
     x, _ = jax.lax.scan(body, x, stage_layers)
@@ -146,6 +144,7 @@ def pipelined_forward(
     valid_mask: Optional[jnp.ndarray] = None,
     n_microbatches: int = 4,
     remat: bool = False,
+    remat_policy=None,
 ) -> jnp.ndarray:
     """GPipe forward over the "pp" mesh axis. Returns hidden (B, T, H) after
     the final norm — the pipelined equivalent of
@@ -198,7 +197,7 @@ def pipelined_forward(
                 state,
             )
             v = jax.lax.dynamic_index_in_dim(vs, idx, 0, keepdims=False)
-            out = _mb_forward(cfg, stage_layers, x_in, v, remat)
+            out = _mb_forward(cfg, stage_layers, x_in, v, remat, remat_policy)
             live = (my_mb >= 0) & (my_mb < m)
             # only the last stage's live outputs leave the pipe
             write = live & (stage == pp - 1)
@@ -228,7 +227,7 @@ def make_pp_lm_forward(mesh: Mesh, n_microbatches: int = 4):
     """An `lm_forward` hook for finetune.loss.train_forward: routes the LM
     through the pipeline (params["lm"] must be in stack_layers layout)."""
 
-    def lm_forward(cfg, lm_params, embeds, valid_mask, remat):
+    def lm_forward(cfg, lm_params, embeds, valid_mask, remat, remat_policy=None):
         return pipelined_forward(
             cfg,
             lm_params,
@@ -237,6 +236,7 @@ def make_pp_lm_forward(mesh: Mesh, n_microbatches: int = 4):
             valid_mask=valid_mask,
             n_microbatches=n_microbatches,
             remat=remat,
+            remat_policy=remat_policy,
         )
 
     return lm_forward
