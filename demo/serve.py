@@ -105,12 +105,17 @@ def build_server(args):
                 super().log_message(fmt, *a)
 
         def do_GET(self):
-            if self.path != "/health":
+            if self.path == "/health":
+                body = json.dumps(
+                    {"status": "ok", "active": sum(h is not None for h in engine.slots)}
+                ).encode()
+            elif self.path == "/stats":
+                import dataclasses
+
+                body = json.dumps(dataclasses.asdict(engine.stats())).encode()
+            else:
                 self.send_error(404)
                 return
-            body = json.dumps(
-                {"status": "ok", "active": sum(h is not None for h in engine.slots)}
-            ).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -151,6 +156,9 @@ def build_server(args):
                     speech_frame_valid=proc_out.speech_masks,
                     speech_input_mask=proc_out.speech_input_mask,
                     seed=int(req.get("seed", 0)),
+                    deadline_s=(
+                        float(req["deadline_s"]) if req.get("deadline_s") else None
+                    ),
                 )
             )
             if self.path == "/tts/stream":

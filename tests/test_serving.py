@@ -363,3 +363,35 @@ def test_cancel_queued_while_slots_full():
         assert all(s is not None for s in eng.slots)  # siblings still running
     finally:
         eng.shutdown()  # force-finishes the two long streams
+
+
+def test_engine_stats_and_deadline():
+    """EngineStats counts outcomes and TTFA; a request with an already-expired
+    deadline finishes promptly (cancel semantics) and is counted as
+    deadline_expired."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = _forced_diffusion_engine(params, 2)
+    try:
+        h = eng.submit(_make_request(41))
+        audio = h.result(timeout=120)
+        assert len(audio) > 0
+        st = eng.stats()
+        assert st.submitted == 1 and st.completed == 1
+        assert st.frames_emitted >= len(audio) // HOP
+        assert st.audio_seconds_emitted > 0
+        assert st.ttfa_p50_ms is not None and st.ttfa_p50_ms > 0
+        assert st.ttfa_p95_ms >= st.ttfa_p50_ms
+        assert st.uptime_s > 0
+
+        r = _make_request(42)
+        r.deadline_s = 0.0  # expired at submit
+        h2 = eng.submit(r)
+        out = h2.result(timeout=60)  # finishes (possibly with partial audio)
+        assert h2.error is None
+        assert h2.deadline_expired
+        assert eng.stats().deadline_expired == 1
+        assert isinstance(out, np.ndarray)
+    finally:
+        eng.shutdown()

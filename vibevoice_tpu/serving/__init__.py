@@ -1,3 +1,3 @@
-from .engine import Request, RequestHandle, ServingEngine
+from .engine import EngineStats, Request, RequestHandle, ServingEngine
 
-__all__ = ["ServingEngine", "Request", "RequestHandle"]
+__all__ = ["ServingEngine", "Request", "RequestHandle", "EngineStats"]

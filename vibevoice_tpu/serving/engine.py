@@ -92,6 +92,28 @@ class Request:
     speech_input_mask: Optional[np.ndarray] = None
     seed: int = 0
     max_length_times: float = 2.0
+    # wall-clock budget from submit(); an expired request is finished like a
+    # cancel (audio already produced stays available) and counts as
+    # `deadline_expired` in EngineStats
+    deadline_s: Optional[float] = None
+
+
+@dataclass
+class EngineStats:
+    """Point-in-time engine observability snapshot (engine.stats())."""
+
+    submitted: int
+    completed: int
+    failed: int
+    cancelled: int
+    deadline_expired: int
+    active: int  # slots decoding right now
+    queued: int  # waiting for prefill or a free slot
+    frames_emitted: int
+    audio_seconds_emitted: float
+    ttfa_p50_ms: Optional[float]  # over the last 256 finished-first-audio requests
+    ttfa_p95_ms: Optional[float]
+    uptime_s: float
 
 
 class RequestHandle:
@@ -104,6 +126,13 @@ class RequestHandle:
         self._done = threading.Event()
         self.error: Optional[BaseException] = None
         self.cancelled = threading.Event()
+        self.submit_time = time.monotonic()
+        self.first_audio_time: Optional[float] = None  # set on first frame
+        self.deadline_expired = False
+
+    def _deadline_exceeded(self) -> bool:
+        d = self.request.deadline_s
+        return d is not None and (time.monotonic() - self.submit_time) > d
 
     def cancel(self):
         """Stop this request (the reference's stop-button semantics): a
@@ -130,6 +159,8 @@ class RequestHandle:
 
     # engine-side
     def _push(self, audio: np.ndarray):
+        if self.first_audio_time is None:
+            self.first_audio_time = time.monotonic()
         self._audio.append(audio)
         self.chunks.put(audio)
 
@@ -205,6 +236,15 @@ class ServingEngine:
         # ready-queue slot is released for the prefill worker)
         self._ready_local: List = []
         self.key = jax.random.PRNGKey(0)
+        # observability (stats()): registry of recent handles + counters.
+        # Only the decode thread mutates _frames_emitted; the registry is an
+        # append-only deque (thread-safe under the GIL for append/iterate)
+        import collections
+
+        self._handles: "collections.deque" = collections.deque(maxlen=4096)
+        self._frames_emitted = 0
+        self._start_time = time.monotonic()
+        self._hop = cfg.acoustic_tokenizer_config.hop_length
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._prefill_thread = threading.Thread(target=self._prefill_loop, daemon=True)
@@ -217,8 +257,46 @@ class ServingEngine:
 
     def submit(self, request: Request) -> RequestHandle:
         handle = RequestHandle(request)
+        self._handles.append(handle)
         self.pending.put(handle)
         return handle
+
+    def stats(self) -> EngineStats:
+        """Observability snapshot. Cheap (walks the bounded handle registry);
+        safe to call from any thread."""
+        submitted = completed = failed = cancelled = expired = queued = 0
+        ttfa = []
+        for h in self._handles:
+            submitted += 1
+            if h._done.is_set():
+                if h.deadline_expired:
+                    expired += 1
+                elif h.cancelled.is_set():
+                    cancelled += 1
+                elif h.error is not None:
+                    failed += 1
+                else:
+                    completed += 1
+            if h.first_audio_time is not None:
+                ttfa.append((h.first_audio_time - h.submit_time) * 1e3)
+        active = sum(h is not None for h in self.slots)
+        queued = submitted - completed - failed - cancelled - expired - active
+        ttfa = sorted(ttfa[-256:])
+        pct = lambda q: ttfa[min(len(ttfa) - 1, int(q * len(ttfa)))] if ttfa else None
+        return EngineStats(
+            submitted=submitted,
+            completed=completed,
+            failed=failed,
+            cancelled=cancelled,
+            deadline_expired=expired,
+            active=active,
+            queued=max(queued, 0),
+            frames_emitted=self._frames_emitted,
+            audio_seconds_emitted=self._frames_emitted * self._hop / 24_000.0,
+            ttfa_p50_ms=pct(0.50),
+            ttfa_p95_ms=pct(0.95),
+            uptime_s=time.monotonic() - self._start_time,
+        )
 
     def shutdown(self, timeout: float = 30.0):
         self._stop.set()
@@ -237,6 +315,10 @@ class ServingEngine:
             except queue.Empty:
                 continue
             if handle.cancelled.is_set():  # cancelled before prefill
+                handle._finish()
+                continue
+            if handle._deadline_exceeded():  # expired while queued
+                handle.deadline_expired = True
                 handle._finish()
                 continue
             try:
@@ -269,6 +351,9 @@ class ServingEngine:
                 break
         keep: List = []
         for handle, single, max_steps in self._ready_local:
+            if handle._deadline_exceeded() and not handle.cancelled.is_set():
+                handle.deadline_expired = True
+                handle.cancel()
             if handle.cancelled.is_set():  # cancelled while queued
                 handle._finish()
             elif any(h is None for h in self.slots):
@@ -387,6 +472,7 @@ class ServingEngine:
                         continue
                     if amask[f, i]:
                         h._push(audio[f, i, :, 0])
+                        self._frames_emitted += 1
                     if fin[f, i]:
                         h._finish()
                         self.slots[i] = None
@@ -404,6 +490,12 @@ class ServingEngine:
 
             k = self.frames_per_dispatch
             self.key, sk = jax.random.split(self.key)
+            # server-side deadlines finish through the cancel path (audio
+            # already produced stays deliverable)
+            for h in self.slots:
+                if h is not None and not h.cancelled.is_set() and h._deadline_exceeded():
+                    h.deadline_expired = True
+                    h.cancel()
             # cancelled slots finish through the same in-device ext path as
             # the max-step cap (handle.cancel() — reference stop semantics)
             cancelled = np.array(
