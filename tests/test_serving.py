@@ -395,3 +395,39 @@ def test_engine_stats_and_deadline():
         assert isinstance(out, np.ndarray)
     finally:
         eng.shutdown()
+
+
+def test_decode_loop_crash_drains_all_requests():
+    """Failure isolation: if the decode loop dies (device error), every
+    active and queued request is finished with that error instead of
+    stranding its consumer threads forever."""
+    import time
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = _forced_diffusion_engine(params, 2)
+    try:
+        real = eng.step_fn
+        calls = {"n": 0}
+
+        def exploding(p, c, key, ext):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("injected device fault")
+            return real(p, c, key, ext)
+
+        eng.step_fn = exploding
+        h1 = eng.submit(_make_request(70, n=20))
+        h2 = eng.submit(_make_request(71, n=20))
+        for h in (h1, h2):
+            with pytest.raises(RuntimeError, match="injected device fault"):
+                h.result(timeout=60)
+        st = eng.stats()
+        assert st.failed == 2
+        # a request submitted after the crash must fail fast too (engine
+        # stopped; prefill thread exits); give the stop flag a moment
+        time.sleep(0.1)
+        h3 = eng.submit(_make_request(72))
+        assert eng._stop.is_set()
+    finally:
+        eng.shutdown()
