@@ -82,6 +82,12 @@ def build_server(args):
         )
         tokens = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2)
 
+    mesh = None
+    if getattr(args, "tp", 1) > 1:
+        from vibevoice_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, tp=args.tp)
+
     engine = ServingEngine(
         cfg,
         params,
@@ -94,6 +100,7 @@ def build_server(args):
         max_len=args.max_len,
         frames_per_dispatch=getattr(args, "frames_per_dispatch", 1),
         pipeline=not getattr(args, "no_pipeline", False),
+        mesh=mesh,
     )
     voices_dir = args.voices_dir
 
@@ -237,6 +244,9 @@ def main():
                     "next (lowest latency; pipelining is +~50%% throughput)")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache (halves cache HBM; use for long --max_len)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways (needs that many chips; the "
+                    "7B bf16 @ 32K config needs tp>=2 on 16 GB parts)")
     ap.add_argument("--voices_dir", type=str, default=os.path.join(os.path.dirname(__file__), "voices"))
     ap.add_argument("--request_timeout", type=float, default=600.0)
     ap.add_argument("--verbose", action="store_true")

@@ -431,3 +431,43 @@ def test_decode_loop_crash_drains_all_requests():
         assert eng._stop.is_set()
     finally:
         eng.shutdown()
+
+
+def test_engine_tp_sharded():
+    """ServingEngine(mesh=tp-mesh): the engine serves with TP-sharded params
+    and a KV cache sharded over KV heads — the multi-chip (7B bf16 @ 32K)
+    serving configuration, on the virtual CPU mesh. Requests complete with
+    the same audio lengths as the single-device engine."""
+    import jax
+    from vibevoice_tpu.parallel import mesh as pmesh
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+
+    lengths = {}
+    for mesh in (None, pmesh.make_mesh(dp=1, tp=2)):
+        eng = _forced_diffusion_engine(params, 2)
+        if mesh is not None:
+            eng.shutdown()
+            eng = ServingEngine(
+                CFG, params, tokens=TOKENS,
+                opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+                max_batch=2, max_len=128, frames_per_dispatch=2, mesh=mesh,
+            )
+            import jax.numpy as jnp
+            rng = np.random.RandomState(0)
+            init = jnp.asarray(rng.randn(256, 2, CFG.acoustic_vae_dim).astype(np.float32))
+            real = inf.make_multi_step_fn(CFG, TOKENS, inf.GenerateOptions(ddpm_steps=2, max_length=128), 2, inject=True)
+            forced = jnp.full((2, 2), TOKENS.speech_diffusion, jnp.int32)
+            eng.step_fn = lambda p, c, key, ext: real(p, c, key, ext, {"forced": forced, "init": init})
+            # KV cache is head-sharded over tp
+            spec = eng.carry.cache.k[0].sharding.spec
+            assert any(e == "tp" for e in spec), spec
+            q = eng.params["lm"]["layers"][0]["attn"]["q"]["w"]
+            assert any(e == "tp" for e in (q.sharding.spec or ())), q.sharding
+        try:
+            hs = [eng.submit(_make_request(i, n=8 + 3 * i)) for i in range(2)]
+            lengths[mesh is None] = [len(h.result(timeout=240)) for h in hs]
+        finally:
+            eng.shutdown()
+    assert lengths[True] == lengths[False]
+    assert all(l > 0 for l in lengths[True])

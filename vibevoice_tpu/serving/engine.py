@@ -183,8 +183,19 @@ class ServingEngine:
         idle_sleep: float = 0.002,
         frames_per_dispatch: Optional[int] = None,  # None -> opts.frames_per_dispatch
         pipeline: bool = True,
+        mesh=None,  # jax.sharding.Mesh with a "tp" axis: TP-sharded serving
     ):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # Tensor-parallel serving (the 7B-bf16 @ 32K config needs tp>=2
+            # on 16 GB chips): params shard per the Megatron TP plan and the
+            # KV cache over KV heads; activations replicate. prefill_fn and
+            # the fused step inherit the layouts through jit — the same
+            # path validated at 7B geometry in __graft_entry__'s dryrun.
+            from ..parallel import mesh as pmesh
+
+            params = jax.device_put(params, pmesh.model_param_shardings(params, mesh))
         self.params = params
         self.tokens = tokens
         self.opts = opts
@@ -212,10 +223,31 @@ class ServingEngine:
 
         dtype = params["lm"]["embed"].dtype
         b = max_batch
+        cache = qwen2.make_cache(
+            cfg.decoder_config, 2 * b, max_len, dtype, quantized=opts.kv_int8
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kv_sh = NamedSharding(mesh, P(None, "tp", None, None))
+            rep = NamedSharding(mesh, P())
+            cache = qwen2.KVCache(
+                k=tuple(jax.device_put(x, kv_sh) for x in cache.k),
+                v=tuple(jax.device_put(x, kv_sh) for x in cache.v),
+                length=jax.device_put(cache.length, rep),
+                k_scale=(
+                    tuple(jax.device_put(x, kv_sh) for x in cache.k_scale)
+                    if cache.k_scale is not None
+                    else None
+                ),
+                v_scale=(
+                    tuple(jax.device_put(x, kv_sh) for x in cache.v_scale)
+                    if cache.v_scale is not None
+                    else None
+                ),
+            )
         self.carry = inf.DecodeCarry(
-            cache=qwen2.make_cache(
-                cfg.decoder_config, 2 * b, max_len, dtype, quantized=opts.kv_int8
-            ),
+            cache=cache,
             dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, b, dtype),
             sem_state=tok.init_encoder_state(cfg.semantic_tokenizer_config, b, dtype),
             h_pos=jnp.zeros((b, cfg.decoder_config.hidden_size), dtype),
