@@ -471,3 +471,54 @@ def test_engine_tp_sharded():
             eng.shutdown()
     assert lengths[True] == lengths[False]
     assert all(l > 0 for l in lengths[True])
+
+
+def test_http_rt_streaming_endpoint():
+    """POST /tts/rt: the 0.5B streaming model behind chunked-transfer WAV
+    (smoke model + synthetic preset). Valid live-stream WAV with PCM that is
+    a whole number of hop-sized frames."""
+    import http.client
+    import json
+    import threading
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from demo.serve import build_server
+
+    class A:
+        model_path = None
+        host = "127.0.0.1"
+        port = 0
+        max_batch = 2
+        max_len = 96
+        cfg_scale = 1.3
+        ddpm_steps = 2
+        int8 = False
+        kv_int8 = False
+        voices_dir = "/nonexistent"
+        request_timeout = 300.0
+        verbose = False
+        streaming_model_path = "smoke"
+        streaming_voice = None
+        streaming_max_len = 512
+        streaming_ddpm_steps = 2
+
+    server = build_server(A)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"text": "hello streaming world"}).encode()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/tts/rt", body, {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Transfer-Encoding") == "chunked"
+        stream = r.read()
+        assert stream[:4] == b"RIFF" and stream[8:12] == b"WAVE"
+        pcm = stream[44:]
+        assert len(pcm) % 2 == 0
+        conn.close()
+    finally:
+        server.shutdown()
+        server.engine.shutdown()
