@@ -48,82 +48,24 @@ def wav_header(sample_rate: int, num_samples: int) -> bytes:
     ) + b"data" + struct.pack("<I", data_size)
 
 
-class _RtModel:
-    """The 0.5B streaming model behind POST /tts/rt: batch-1 real-time
-    synthesis (reference streaming generate is bs1-only,
-    modeling_vibevoice_streaming_inference.py:511), serialized by a lock.
-    The multi-speaker engine keeps serving /tts concurrently."""
+def _build_rt(args):
+    """The 0.5B streaming model behind POST /tts/rt, via the StreamingTTS
+    facade (batch-1, serialized inside StreamingTTS; the multi-speaker
+    engine keeps batching /tts concurrently). A real checkpoint REQUIRES
+    --streaming_voice (StreamingTTS raises otherwise) — serving a random
+    synthetic voice must stay a smoke-mode-only behavior."""
+    from vibevoice_tpu.tts import StreamingTTS
 
-    def __init__(self, args):
-        import jax
-
-        from vibevoice_tpu.models import streaming as st
-        from vibevoice_tpu.models.inference import GenerateOptions
-        from vibevoice_tpu.processor.streaming_processor import VibeVoiceStreamingProcessor
-        from vibevoice_tpu.processor.text_tokenizer import FallbackTextTokenizer
-
-        self.st = st
-        if args.streaming_model_path != "smoke":
-            from vibevoice_tpu.utils.hf_interop import load_streaming_checkpoint
-
-            self.cfg, self.params, self.processor = load_streaming_checkpoint(
-                args.streaming_model_path
-            )
-        else:
-            from vibevoice_tpu.configs import (
-                AcousticTokenizerConfig,
-                DiffusionHeadConfig,
-                Qwen2Config,
-                VibeVoiceStreamingConfig,
-            )
-
-            self.cfg = VibeVoiceStreamingConfig(
-                acoustic_tokenizer_config=AcousticTokenizerConfig(
-                    vae_dim=16, encoder_n_filters=4, encoder_ratios=(4, 2),
-                    encoder_depths=(1, 1, 2), decoder_n_filters=4,
-                ),
-                decoder_config=Qwen2Config(
-                    vocab_size=256, hidden_size=64, intermediate_size=128,
-                    num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
-                    max_position_embeddings=1024, rope_theta=10_000.0,
-                ),
-                diffusion_head_config=DiffusionHeadConfig(
-                    hidden_size=64, head_layers=2, latent_size=16
-                ),
-                tts_backbone_num_hidden_layers=2,
-            )
-            self.params = st.init(jax.random.PRNGKey(0), self.cfg)
-            self.processor = VibeVoiceStreamingProcessor(
-                FallbackTextTokenizer(vocab_size=256)
-            )
-        self.max_len = args.streaming_max_len
+    if args.streaming_model_path == "smoke":
+        rt = StreamingTTS.smoke(max_len=args.streaming_max_len)
         if getattr(args, "streaming_voice", None):
-            if args.streaming_voice.endswith(".pt"):
-                from vibevoice_tpu.utils.preset_convert import convert_torch_preset
-
-                self.preset = convert_torch_preset(args.streaming_voice)
-            else:
-                self.preset = st.VoicePreset.load(args.streaming_voice)
-        else:
-            prompt = np.random.RandomState(0).randint(10, 200, (1, 16))
-            self.preset = st.build_voice_preset(
-                self.cfg, self.params, prompt,
-                neg_prompt_id=getattr(self.processor.tokenizer, "pad_id", 3),
-                max_len=self.max_len,
-            )
-        self.opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=args.streaming_ddpm_steps)
-        self.window_fns = st.make_window_fns(self.cfg, self.opts)
-        self.lock = threading.Lock()
-
-    def generate(self, text: str, seed: int, streamer, stop_check_fn):
-        proc_out = self.processor.process_input_with_cached_prompt(text, self.preset)
-        return self.st.generate(
-            self.cfg, self.params,
-            tts_text_ids=proc_out.tts_text_ids,
-            preset=self.preset, opts=self.opts, max_len=self.max_len,
-            seed=seed, audio_streamer=streamer, stop_check_fn=stop_check_fn,
-            window_fns=self.window_fns,
-        )
+            raise SystemExit("--streaming_voice is ignored with the smoke model")
+        return rt
+    return StreamingTTS.from_pretrained(
+        args.streaming_model_path,
+        voice=getattr(args, "streaming_voice", None),
+        max_len=args.streaming_max_len,
+    )
 
 
 def build_server(args):
@@ -185,7 +127,7 @@ def build_server(args):
         mesh=mesh,
     )
     voices_dir = args.voices_dir
-    rt = _RtModel(args) if getattr(args, "streaming_model_path", None) else None
+    rt = _build_rt(args) if getattr(args, "streaming_model_path", None) else None
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
@@ -220,6 +162,10 @@ def build_server(args):
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 text = req["text"]
+                seed = int(req.get("seed", 0))
+                # presence check, not truthiness: deadline_s=0 means
+                # "expired at submit", a legitimate (if unusual) request
+                deadline_s = float(req["deadline_s"]) if "deadline_s" in req else None
             except Exception as e:
                 self.send_error(400, f"bad request: {e}")
                 return
@@ -228,7 +174,7 @@ def build_server(args):
                 if rt is None:
                     self.send_error(404, "server started without --streaming_model_path")
                     return
-                self._rt_response(text, int(req.get("seed", 0)))
+                self._rt_response(text, seed)
                 return
 
             voice_samples = None
@@ -252,10 +198,8 @@ def build_server(args):
                     speech_tensors=proc_out.speech_tensors,
                     speech_frame_valid=proc_out.speech_masks,
                     speech_input_mask=proc_out.speech_input_mask,
-                    seed=int(req.get("seed", 0)),
-                    deadline_s=(
-                        float(req["deadline_s"]) if req.get("deadline_s") else None
-                    ),
+                    seed=seed,
+                    deadline_s=deadline_s,
                 )
             )
             if self.path == "/tts/stream":
@@ -278,51 +222,36 @@ def build_server(args):
 
         def _rt_response(self, text: str, seed: int):
             """Chunked-transfer WAV from the 0.5B streaming model: one
-            request at a time (bs1 path), frames flushed as the window loop
-            produces them — the lowest-TTFA serving surface."""
-            from vibevoice_tpu.streamer import AudioStreamer
-
-            with rt.lock:
-                streamer = AudioStreamer(batch_size=1)
-                stop = threading.Event()
-                err: list = []
-
-                def run():
-                    try:
-                        rt.generate(text, seed, streamer, stop.is_set)
-                    except BaseException as e:  # surfaced after the stream
-                        err.append(e)
-                    finally:
-                        streamer.end()
-
-                t = threading.Thread(target=run, daemon=True)
-                t.start()
-                self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
-                header = (
-                    b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16)
-                    + b"data" + struct.pack("<I", 0xFFFFFFFF)
-                )
-                try:
-                    self._write_chunk(header)
+            request at a time (StreamingTTS serializes internally), frames
+            flushed as the window loop produces them — the lowest-TTFA
+            serving surface."""
+            it = rt.stream(text, seed=seed, ddpm_steps=args.streaming_ddpm_steps)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            header = (
+                b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16)
+                + b"data" + struct.pack("<I", 0xFFFFFFFF)
+            )
+            try:
+                self._write_chunk(header)
+                self.wfile.flush()
+                for frame in it:
+                    pcm = (np.clip(frame, -1, 1) * 32767).astype("<i2").tobytes()
+                    self._write_chunk(pcm)
                     self.wfile.flush()
-                    for frame in streamer.get_stream(0):
-                        pcm = (np.clip(frame, -1, 1) * 32767).astype("<i2").tobytes()
-                        self._write_chunk(pcm)
-                        self.wfile.flush()
-                    self._write_chunk(b"")
-                except (BrokenPipeError, ConnectionResetError):
-                    stop.set()  # dead client: stop the device loop
-                finally:
-                    t.join(timeout=args.request_timeout)
-                if err and not stop.is_set():
-                    # stream already committed; log rather than half-close
-                    import traceback
+            except (BrokenPipeError, ConnectionResetError):
+                return  # dead client: closing the iterator stops the device loop
+            except Exception:
+                import traceback
 
-                    traceback.print_exception(err[0])
+                traceback.print_exc()  # stream already committed; log + terminate
+            finally:
+                it.close()
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
 
         def _write_chunk(self, data: bytes):
             self.wfile.write(f"{len(data):X}\r\n".encode())

@@ -427,8 +427,10 @@ def test_decode_loop_crash_drains_all_requests():
         # a request submitted after the crash must fail fast too (engine
         # stopped; prefill thread exits); give the stop flag a moment
         time.sleep(0.1)
-        h3 = eng.submit(_make_request(72))
         assert eng._stop.is_set()
+        h3 = eng.submit(_make_request(72))
+        with pytest.raises(RuntimeError, match="engine is stopped"):
+            h3.result(timeout=10)
     finally:
         eng.shutdown()
 

@@ -129,6 +129,9 @@ class RequestHandle:
         self.submit_time = time.monotonic()
         self.first_audio_time: Optional[float] = None  # set on first frame
         self.deadline_expired = False
+        # scalar observability record the engine keeps after this handle is
+        # gone (stats() must not pin request audio in host RAM)
+        self.rec = {"submit": self.submit_time, "ttfa_ms": None, "outcome": None}
 
     def _deadline_exceeded(self) -> bool:
         d = self.request.deadline_s
@@ -161,11 +164,20 @@ class RequestHandle:
     def _push(self, audio: np.ndarray):
         if self.first_audio_time is None:
             self.first_audio_time = time.monotonic()
+            self.rec["ttfa_ms"] = (self.first_audio_time - self.submit_time) * 1e3
         self._audio.append(audio)
         self.chunks.put(audio)
 
     def _finish(self, err: Optional[BaseException] = None):
         self.error = err
+        if self.deadline_expired:
+            self.rec["outcome"] = "deadline_expired"
+        elif self.cancelled.is_set():
+            self.rec["outcome"] = "cancelled"
+        elif err is not None:
+            self.rec["outcome"] = "failed"
+        else:
+            self.rec["outcome"] = "completed"
         self.chunks.put(self._END)
         self._done.set()
 
@@ -193,6 +205,12 @@ class ServingEngine:
             # KV cache over KV heads; activations replicate. prefill_fn and
             # the fused step inherit the layouts through jit — the same
             # path validated at 7B geometry in __graft_entry__'s dryrun.
+            if any("w8" in l["attn"]["q"] or "qkv" in l["attn"] for l in params["lm"]["layers"]):
+                raise ValueError(
+                    "TP serving shards dense ('w') params; int8-quantized "
+                    "params are the SINGLE-chip memory config (7B int8 + "
+                    "int8 KV fits one 16 GB chip) — use one or the other"
+                )
             from ..parallel import mesh as pmesh
 
             params = jax.device_put(params, pmesh.model_param_shardings(params, mesh))
@@ -268,12 +286,14 @@ class ServingEngine:
         # ready-queue slot is released for the prefill worker)
         self._ready_local: List = []
         self.key = jax.random.PRNGKey(0)
-        # observability (stats()): registry of recent handles + counters.
-        # Only the decode thread mutates _frames_emitted; the registry is an
-        # append-only deque (thread-safe under the GIL for append/iterate)
+        # observability (stats()): bounded registry of per-request SCALAR
+        # records (never the handles — those pin the request audio in host
+        # RAM). Guarded by a lock: submit() appends from handler threads
+        # while stats() snapshots.
         import collections
 
-        self._handles: "collections.deque" = collections.deque(maxlen=4096)
+        self._recs: "collections.deque" = collections.deque(maxlen=4096)
+        self._recs_lock = threading.Lock()
         self._frames_emitted = 0
         self._start_time = time.monotonic()
         self._hop = cfg.acoustic_tokenizer_config.hop_length
@@ -289,28 +309,36 @@ class ServingEngine:
 
     def submit(self, request: Request) -> RequestHandle:
         handle = RequestHandle(request)
-        self._handles.append(handle)
+        with self._recs_lock:
+            self._recs.append(handle.rec)
+        if self._stop.is_set():
+            # a stopped engine (shutdown or dead decode loop) must never
+            # accept work that nothing will consume — fail fast, not a
+            # forever-blocked handle.stream()
+            handle._finish(RuntimeError("engine is stopped"))
+            return handle
         self.pending.put(handle)
+        if self._stop.is_set():
+            # raced with shutdown: _drain may already have swept `pending`;
+            # fail whatever is still queued (a duplicate _finish only adds a
+            # redundant end-sentinel, which consumers never reach)
+            try:
+                self.pending.get_nowait()._finish(RuntimeError("engine is stopped"))
+            except queue.Empty:
+                pass
         return handle
 
     def stats(self) -> EngineStats:
-        """Observability snapshot. Cheap (walks the bounded handle registry);
-        safe to call from any thread."""
-        submitted = completed = failed = cancelled = expired = queued = 0
-        ttfa = []
-        for h in self._handles:
-            submitted += 1
-            if h._done.is_set():
-                if h.deadline_expired:
-                    expired += 1
-                elif h.cancelled.is_set():
-                    cancelled += 1
-                elif h.error is not None:
-                    failed += 1
-                else:
-                    completed += 1
-            if h.first_audio_time is not None:
-                ttfa.append((h.first_audio_time - h.submit_time) * 1e3)
+        """Observability snapshot. Cheap (walks the bounded scalar-record
+        registry); safe to call from any thread."""
+        with self._recs_lock:
+            recs = list(self._recs)
+        submitted = len(recs)
+        completed = sum(r["outcome"] == "completed" for r in recs)
+        failed = sum(r["outcome"] == "failed" for r in recs)
+        cancelled = sum(r["outcome"] == "cancelled" for r in recs)
+        expired = sum(r["outcome"] == "deadline_expired" for r in recs)
+        ttfa = [r["ttfa_ms"] for r in recs if r["ttfa_ms"] is not None]
         active = sum(h is not None for h in self.slots)
         queued = submitted - completed - failed - cancelled - expired - active
         ttfa = sorted(ttfa[-256:])
@@ -405,18 +433,17 @@ class ServingEngine:
         t = r.input_ids.shape[1]
         pad = -(-t // self.PROMPT_BUCKET) * self.PROMPT_BUCKET - t
         if pad:
-            r = Request(
+            import dataclasses
+
+            r = dataclasses.replace(
+                r,
                 input_ids=np.pad(r.input_ids, ((0, 0), (0, pad))),
                 valid_mask=np.pad(r.valid_mask, ((0, 0), (0, pad))),
-                speech_tensors=r.speech_tensors,
-                speech_frame_valid=r.speech_frame_valid,
                 speech_input_mask=(
                     np.pad(r.speech_input_mask, ((0, 0), (0, pad)))
                     if r.speech_input_mask is not None
                     else None
                 ),
-                seed=r.seed,
-                max_length_times=r.max_length_times,
             )
         use_speech = r.speech_tensors is not None
         speech_args = None

@@ -81,6 +81,12 @@ class VibeVoiceTTS:
             from .finetune.lora import load_lora_assets
 
             params = load_lora_assets(params, lora_path, cfg)
+            if int8:
+                # quantize AFTER the (dense) LoRA merge so int8=True keeps
+                # its meaning with a fine-tune loaded on top
+                from .models.vibevoice import quantize_for_inference
+
+                params = quantize_for_inference(params)
         return cls(cfg, params, processor)
 
     @classmethod
