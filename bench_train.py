@@ -27,6 +27,9 @@ Env overrides:
   BENCH_TRAIN_CE_CHUNK=N CE chunk tokens (default 1024)
   BENCH_TRAIN_REMAT_POLICY=dots  save matmul outputs in remat (faster
                          backward, more memory)
+  BENCH_TRAIN_HEAD_BUDGET=N|auto  diffusion-head position budget (gather the
+                         speech positions before the head; auto = frames
+                         rounded up to 64). 0/unset = dense head
 
 Prints one JSON line per metric (tokens/s headline, then step time + MFU).
 """
@@ -133,8 +136,11 @@ def main():
     params["speech_scaling_factor"] = jnp.asarray(1.0)
     params["speech_bias_factor"] = jnp.asarray(0.0)
 
+    hb_env = os.environ.get("BENCH_TRAIN_HEAD_BUDGET", "0")
+    head_budget = (-(-frames // 64) * 64) if hb_env == "auto" else int(hb_env)
     opts = TrainOptions(remat=True, ce_chunk_size=ce_chunk,
-                    remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY") or None)
+                    remat_policy=os.environ.get("BENCH_TRAIN_REMAT_POLICY") or None,
+                    head_position_budget=head_budget)
     batch = make_synthetic_batch(cfg, b, t, frames)
     key = jax.random.PRNGKey(1)
 
@@ -237,7 +243,7 @@ def main():
     flops = (
         (lm_factor * p_lm + 4 * attn_per_tok) * tokens_per_step  # attn: fwd+refwd+2x bwd
         + 6 * p_logits * tokens_per_step
-        + 8 * p_head * tokens_per_step * opts.ddpm_batch_mul
+        + 8 * p_head * b * (head_budget or t) * opts.ddpm_batch_mul
         + enc_flops
     )
     mfu = flops / step_sec / 197e12  # v5e bf16 peak 197 TFLOP/s

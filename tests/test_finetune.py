@@ -309,3 +309,45 @@ def test_trainer_cli_smoke_freeze_accum_resume(tmp_path):
     import os
 
     assert os.path.isdir(f"{out}/checkpoint-4")
+
+
+def test_head_position_budget_exact(params):
+    """head_position_budget gathers speech positions before the diffusion
+    head (the ~8x head-FLOP saving at real T); with K >= every sample's
+    frame count the loss equals the dense path to f32 reduction order
+    (identical RNG rows gathered, dropped rows are exact zeros) and grads
+    match."""
+    batch = make_batch()  # 4 frames per sample at positions 6..9
+    key = jax.random.PRNGKey(6)
+    dense = TrainOptions()
+    # budget not a multiple of anything, larger than the frame count
+    budg = TrainOptions(head_position_budget=7)
+
+    out_a = train_forward(CFG, params, batch, key, dense)
+    out_b = train_forward(CFG, params, batch, key, budg)
+    np.testing.assert_allclose(
+        float(out_a.diffusion_loss), float(out_b.diffusion_loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(out_a.loss), float(out_b.loss), rtol=1e-5)
+    assert int(out_a.speech_frame_count) == int(out_b.speech_frame_count)
+
+    def loss(p, opts):
+        return train_forward(CFG, p, batch, key, opts).loss
+
+    g_a = jax.grad(loss)(params, dense)
+    g_b = jax.grad(loss)(params, budg)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a), jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+    # composes with the other memory levers
+    out_c = train_forward(
+        CFG, params, batch, key,
+        TrainOptions(head_position_budget=7, remat=True, ce_chunk_size=7),
+    )
+    np.testing.assert_allclose(float(out_a.loss), float(out_c.loss), rtol=1e-5)
+
+    # K >= T degrades to a full gather and stays finite
+    out_d = train_forward(
+        CFG, params, batch, key, TrainOptions(head_position_budget=10_000)
+    )
+    np.testing.assert_allclose(float(out_a.loss), float(out_d.loss), rtol=1e-6)

@@ -52,6 +52,15 @@ class TrainOptions:
     # backward than full remat, more memory — the middle point on the
     # memory/time curve. Same loss/grads either way.
     remat_policy: Optional[str] = None  # None (= save nothing) | "dots"
+    # head_position_budget = K > 0 gathers (per sample) the first K speech
+    # positions before the diffusion head, so the head runs on B*K*batch_mul
+    # rows instead of B*T*batch_mul. Typically only ~T/8 positions are
+    # speech, so the dense head burns ~8x its useful FLOPs (~25% of the
+    # whole training step at T=2048). Exact (to f32 reduction order) when
+    # K >= the max target-frame count of any sample (the trainer checks per
+    # batch on the host); static shape, dp-sharding preserved (gather is
+    # per-sample along T).
+    head_position_budget: int = 0
 
 
 class Batch(NamedTuple):
@@ -243,16 +252,42 @@ def train_forward(
 
     mul = opts.ddpm_batch_mul
     d = hcfg.latent_size
-    x0 = jnp.repeat(lat_at_pos.reshape(b * t, d), mul, axis=0)
-    cond = jnp.repeat(cond_at_pos.reshape(b * t, -1), mul, axis=0)
-    noise = jax.random.normal(k_noise, x0.shape, jnp.float32)
+    k_pos = opts.head_position_budget
+    if k_pos > 0:
+        # compact the speech positions: stable argsort of ~mask puts each
+        # sample's True positions first (in sequence order); the head then
+        # sees (B, K) rows instead of (B, T). Valid iff K covers every
+        # sample's frame count — positions past the budget would be DROPPED
+        # from the diffusion loss, so the trainer checks K on the host.
+        k_pos = min(k_pos, t)
+        idx = jnp.argsort(~loss_mask, axis=1, stable=True)[:, :k_pos]  # (B, K)
+        lat_at_pos = jnp.take_along_axis(lat_at_pos, idx[..., None], axis=1)
+        cond_at_pos = jnp.take_along_axis(cond_at_pos, idx[..., None], axis=1)
+        head_mask = jnp.take_along_axis(loss_mask, idx, axis=1)  # (B, K)
+        rows = b * k_pos
+    else:
+        idx = None
+        head_mask = loss_mask
+        rows = b * t
+    x0 = jnp.repeat(lat_at_pos.reshape(rows, d), mul, axis=0)
+    cond = jnp.repeat(cond_at_pos.reshape(rows, -1), mul, axis=0)
+    # noise/timesteps are drawn at FULL (B*T*mul) size and gathered, so the
+    # budgeted path consumes the identical RNG stream per position — its
+    # loss matches the dense path to f32 reduction order (dropped rows are
+    # exact zeros; only the sum grouping differs)
+    noise = jax.random.normal(k_noise, (b * t * mul, d), jnp.float32)
     timesteps = jax.random.randint(k_t, (b * t * mul,), 0, hcfg.ddpm_num_steps)
+    if idx is not None:
+        base = (jnp.arange(b)[:, None] * t + idx) * mul  # (B, K)
+        flat = (base[..., None] + jnp.arange(mul)).reshape(-1)  # (B*K*mul,)
+        noise = jnp.take(noise, flat, axis=0)
+        timesteps = jnp.take(timesteps, flat, axis=0)
 
     noisy = noise_schedule.add_noise(x0, noise, timesteps)
     head_fn = lambda hp, nz, ts, cd: dh.apply(hp, hcfg, nz, ts, cd)
     if opts.remat:
-        # the head runs on B*T*batch_mul rows; recompute its 4 AdaLN layers in
-        # backward rather than keeping their FFN intermediates
+        # the head runs on rows*batch_mul inputs; recompute its 4 AdaLN
+        # layers in backward rather than keeping their FFN intermediates
         head_fn = jax.checkpoint(
             head_fn, policy=_resolve_remat_policy(opts.remat_policy)
         )
@@ -267,7 +302,7 @@ def train_forward(
         raise NotImplementedError(hcfg.prediction_type)
 
     per_elem = jnp.square(pred - target)
-    elem_mask = jnp.repeat(loss_mask.reshape(-1), mul)[:, None]
+    elem_mask = jnp.repeat(head_mask.reshape(-1), mul)[:, None]
     speech_len = jnp.sum(loss_mask)
     diffusion_loss = jnp.sum(per_elem * elem_mask) / d / mul / jnp.maximum(speech_len, 1)
 

@@ -106,6 +106,12 @@ def parse_args():
     ap.add_argument("--remat_policy", type=str, default=None, choices=[None, "dots"],
                     help="with --remat: 'dots' keeps matmul outputs and recomputes "
                     "only elementwise work in backward (faster, more memory)")
+    ap.add_argument("--head_budget", type=int, default=0,
+                    help="diffusion-head position budget K: the head runs on the "
+                    "first K speech positions per sample instead of all T "
+                    "(~T/8 are speech, so the dense head wastes ~8x its FLOPs). "
+                    "Bit-exact when K covers every sample's target frames — "
+                    "checked per batch on the host. 0 = dense")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--report_to", type=str, default=None, choices=[None, "wandb"],
                     help="metric sink (reference routes Trainer logs to wandb)")
@@ -279,6 +285,7 @@ def main():
         remat=args.remat,
         ce_chunk_size=args.ce_chunk_size,
         remat_policy=args.remat_policy,
+        head_position_budget=args.head_budget,
     )
     def parse_idx(s):
         return tuple(int(x) for x in s.split(",") if x.strip()) if s else ()
@@ -439,6 +446,16 @@ def main():
         if len(idx) < bs:
             idx = order[:bs]
         batch = collator([dataset[int(i)] for i in idx])
+        if args.head_budget:
+            # the budgeted diffusion head silently drops positions past K —
+            # refuse the batch instead (same spirit as the collator's
+            # truncation-into-acoustic-tokens hard error)
+            per_sample = np.asarray(batch.acoustic_loss_mask).sum(axis=1).max()
+            if per_sample > args.head_budget:
+                raise SystemExit(
+                    f"--head_budget {args.head_budget} < {per_sample} target "
+                    f"frames in a sample; raise the budget or crop targets"
+                )
         if mesh is not None:
             from ..parallel import mesh as pmesh
 
