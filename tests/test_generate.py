@@ -156,8 +156,8 @@ def test_chunked_prefill_matches_single_shot(params):
     valid_j = jnp.asarray(valid)
     key = jax.random.PRNGKey(0)
 
-    a = inf.prefill_fn(CFG, params, ids_j, 64, valid_j, None, False, TOKENS, key)
-    b = inf.chunked_prefill(CFG, params, ids_j, valid_j, 64, TOKENS, key, chunk=6)
+    a = inf.prefill_fn(CFG, params, ids_j, 64, valid_j, None, False, TOKENS)
+    b = inf.chunked_prefill(CFG, params, ids_j, valid_j, 64, TOKENS, chunk=6)
     np.testing.assert_allclose(np.asarray(a.h_pos), np.asarray(b.h_pos), rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(a.cache.length), np.asarray(b.cache.length))
     # cache contents agree on each sample's valid prefix (pos rows 0..B-1,
@@ -294,3 +294,43 @@ def test_sampling_temperature_top_p(params):
         seed=5,
     )
     np.testing.assert_array_equal(nucleus1.sequences, greedy.sequences)
+
+
+def test_multi_frame_dispatch_respects_global_cap(params):
+    """The last K-frame window is masked past max_steps for EVERY sample:
+    outputs are identical for any frames_per_dispatch, a shorter sample whose
+    per-sample cap exceeds max_steps emits no extra frames in the padded
+    window, and no cache can advance past max_length (regression: the padded
+    frames used to run live, overrunning the cache by up to K-1 slots)."""
+    rng = np.random.RandomState(0)
+    ids = rng.randint(10, 100, (2, 12)).astype(np.int64)
+    ids[:, -1] = TOKENS.speech_start
+    valid = np.ones((2, 12), bool)
+    valid[1, 9:] = False
+    ids[1, 9:] = 0
+    ids[1, 8] = TOKENS.speech_start
+    # max_steps = min(22 - 12, 2*12) = 10 (not a multiple of K=4); sample 1's
+    # per-sample cap = min(22 - 9, 18) = 13 > 10 — the old code let it emit
+    # real frames at padded steps 10..11
+    forced = np.full((16, 2), TOKENS.speech_diffusion, np.int32)
+    outs = {}
+    for k in (1, 4):
+        opts = inf.GenerateOptions(ddpm_steps=2, max_length=22, frames_per_dispatch=k)
+        outs[k] = inf.generate(
+            CFG, params, input_ids=ids, valid_mask=valid, tokens=TOKENS,
+            opts=opts, seed=3, forced_tokens=forced,
+        )
+    assert outs[1].sequences.shape == outs[4].sequences.shape, (
+        outs[1].sequences.shape, outs[4].sequences.shape,
+    )
+    np.testing.assert_array_equal(outs[1].sequences, outs[4].sequences)
+    np.testing.assert_array_equal(
+        outs[1].reach_max_step_sample, outs[4].reach_max_step_sample
+    )
+    for b in range(2):
+        a1, a4 = outs[1].speech_outputs[b], outs[4].speech_outputs[b]
+        np.testing.assert_array_equal(
+            np.zeros(0) if a1 is None else a1, np.zeros(0) if a4 is None else a4
+        )
+    # both samples generated exactly max_steps=10 frames (forced diffusion)
+    assert outs[4].sequences.shape[1] == 12 + 10

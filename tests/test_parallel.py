@@ -53,7 +53,7 @@ def test_tp_sharded_decode_step_matches(params):
     key = jax.random.PRNGKey(0)
     carry0 = inf.prefill_fn(
         CFG, params, jnp.asarray(ids, jnp.int32), 64, jnp.ones((2, 6), bool),
-        None, False, TOKENS, key,
+        None, False, TOKENS,
     )
 
     ext = jnp.zeros((2,), bool)
@@ -64,7 +64,7 @@ def test_tp_sharded_decode_step_matches(params):
     sharded_params = jax.device_put(params, shardings)
     carry1 = inf.prefill_fn(
         CFG, sharded_params, jnp.asarray(ids, jnp.int32), 64, jnp.ones((2, 6), bool),
-        None, False, TOKENS, key,
+        None, False, TOKENS,
     )
     tp_carry, tp_out = step(sharded_params, carry1, sk, ext)
 

@@ -121,11 +121,11 @@ def test_ring_prefill_carry_matches_prefill_fn(params, kv_int8):
 
     ref_carry = inf.prefill_fn(
         CFG, params, jnp.asarray(ids, jnp.int32), max_len, jnp.asarray(valid),
-        None, False, TOKENS, key, "audio", kv_int8,
+        None, False, TOKENS, "audio", kv_int8,
     )
     sp_carry = ring_prefill_carry(
         CFG, params, jnp.asarray(ids, jnp.int32), jnp.asarray(valid), max_len, TOKENS,
-        key, mesh, q_chunk=4, kv_int8=kv_int8,
+        mesh, q_chunk=4, kv_int8=kv_int8,
     )
 
     np.testing.assert_array_equal(np.asarray(sp_carry.cache.length), np.asarray(ref_carry.cache.length))

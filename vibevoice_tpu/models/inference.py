@@ -117,7 +117,7 @@ class GenerationOutput:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 3, 6, 7, 9, 10), donate_argnums=())
+@partial(jax.jit, static_argnums=(0, 3, 6, 7, 8, 9), donate_argnums=())
 def prefill_fn(
     cfg: VibeVoiceConfig,
     params,
@@ -127,7 +127,6 @@ def prefill_fn(
     speech_args,
     use_speech: bool,
     tokens: SpecialTokens,
-    key,
     speech_type: str = "audio",
     kv_int8: bool = False,
 ):
@@ -180,9 +179,9 @@ def _combine_caches(pos: qwen2.KVCache, neg: qwen2.KVCache) -> qwen2.KVCache:
     )
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _prefill_init_fn(
-    cfg: VibeVoiceConfig, params, ids_shape_b, max_len: int, key, tokens: SpecialTokens,
+    cfg: VibeVoiceConfig, params, ids_shape_b, max_len: int, tokens: SpecialTokens,
     kv_int8: bool = False,
 ):
     """Allocate caches + negative-stream prefill + conv states (the
@@ -230,7 +229,6 @@ def chunked_prefill(
     valid_mask: jnp.ndarray,
     max_len: int,
     tokens: SpecialTokens,
-    key,
     speech_args=None,
     chunk: int = 1024,
     speech_type: str = "audio",
@@ -250,8 +248,11 @@ def chunked_prefill(
         embeds = vv.splice_speech_features(embeds, speech_input_mask, feats, speech_frame_valid)
 
     lengths = jnp.sum(valid_mask.astype(jnp.int32), axis=1)
+    # pass only a (B,)-shaped token: tracing on the full (B, T) ids would
+    # recompile this T-independent init for every distinct prompt length
+    # (1-3 min per shape on the remote-compile tunnel)
     pos_cache, neg_cache, dec_state, sem_state, h_neg = _prefill_init_fn(
-        cfg, params, ids, max_len, key, tokens, kv_int8
+        cfg, params, ids[:, 0], max_len, tokens, kv_int8
     )
     h_pos = jnp.zeros((b, cfg.decoder_config.hidden_size), params["lm"]["embed"].dtype)
 
@@ -583,7 +584,9 @@ def generate(
     )
 
     key = jax.random.PRNGKey(seed)
-    key, pk, vk = jax.random.split(key, 3)
+    # pk kept in the split so existing seeds reproduce (prefill itself
+    # consumes no randomness; the VAE draw rides speech_args' vk)
+    key, _pk, vk = jax.random.split(key, 3)
 
     use_speech = speech_tensors is not None
     speech_args = None
@@ -618,7 +621,6 @@ def generate(
             jnp.asarray(valid_mask),
             max_length,
             tokens,
-            pk,
             speech_args=speech_args if use_speech else None,
             chunk=opts.prefill_chunk,
             speech_type=speech_type,
@@ -634,7 +636,6 @@ def generate(
             speech_args,
             use_speech,
             tokens,
-            pk,
             speech_type,
             opts.kv_int8,
         )
@@ -676,7 +677,7 @@ def generate(
         except ImportError:
             pass
 
-    def process_window(out, ext_finish):
+    def process_window(out, ext_cap, n_live):
         """Fetch one dispatched window (ONE device round-trip — separate
         np.asarray calls cost ~25 ms each on the remote tunnel) and deliver
         its tokens/audio; updates finished_host/reach_max in place."""
@@ -686,7 +687,10 @@ def generate(
         )  # (K, B) / (K, B) / (K, B, hop, 1) / (K, B)
         if k_frames == 1:
             toks, amask, audio, fin = toks[None], amask[None], audio[None], fin[None]
-        for f in range(toks.shape[0]):
+        # frames past the global max_steps bound are dispatch padding (fully
+        # masked in-device); a k=1 run never dispatches them — drop them so
+        # sequences are identical for every frames_per_dispatch
+        for f in range(n_live):
             sequences.append(toks[f][:, None])
             if amask[f].any():
                 for i in np.nonzero(amask[f])[0]:
@@ -695,10 +699,17 @@ def generate(
                     audio_streamer.put(audio[f, amask[f], :, 0], np.nonzero(amask[f])[0])
             newly_done = fin[f] & ~finished_host
             if newly_done.any():
-                reach_max |= ext_finish[f] & newly_done
+                # EOS wins the tie: a sample that CHOSE eos on its cap frame
+                # is eos-finished, not max-length-finished (reference
+                # modeling_vibevoice_inference.py:519-539 marks eos first)
+                reach_max |= ext_cap[f] & newly_done & (toks[f] != tokens.eos)
                 if audio_streamer is not None:
                     audio_streamer.end(np.nonzero(newly_done)[0])
             finished_host = fin[f]
+            if finished_host.all():
+                # remaining frames of this window are fully masked (a k=1
+                # run would never have dispatched them)
+                break
 
     # One dispatch kept in flight: window N+1 is dispatched BEFORE N's
     # outputs are fetched, overlapping device compute with the host's fetch
@@ -724,7 +735,15 @@ def generate(
                 break
 
         steps_now = np.arange(step, step + k_frames)
-        ext_finish = steps_now[:, None] >= max_step_per_sample[None, :]  # (K, B)
+        # per-sample cap (drives reach_max accounting)...
+        ext_cap = steps_now[:, None] >= max_step_per_sample[None, :]  # (K, B)
+        # ...plus the global loop bound (reference range(max_steps)): frames
+        # of the last window that fall past max_steps are masked for EVERY
+        # sample, so outputs are identical for any frames_per_dispatch and
+        # no sample's cache can advance past max_length. Samples stopped
+        # only by the global bound do NOT count as reach_max (k=1 parity:
+        # those frames are simply never dispatched).
+        ext_finish = ext_cap | (steps_now >= max_steps)[:, None]
 
         key, sk = jax.random.split(key)
         hooks = None
@@ -744,7 +763,8 @@ def generate(
             args = (jnp.asarray(ext_finish[0]),) + ((hooks,) if inject else ())
         carry, out = step_fn(params, carry, sk, *args)
 
-        prev, inflight = inflight, (out, ext_finish)
+        n_live = max(0, min(k_frames, max_steps - step))
+        prev, inflight = inflight, (out, ext_cap, n_live)
         if prev is not None:
             process_window(*prev)
         if finished_host.all():

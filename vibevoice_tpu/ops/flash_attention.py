@@ -51,7 +51,10 @@ def _pick_head_fold(kh: int, r: int, block_k: int, d: int, kv_bytes: int) -> int
     Large prefill tiles are matmul-bound and VMEM-hungry, so they stay at 1.
     Env FLASH_HEAD_FOLD forces a value."""
     if DEFAULT_HEAD_FOLD:
-        return max(1, min(DEFAULT_HEAD_FOLD, kh))
+        hf = max(1, min(DEFAULT_HEAD_FOLD, kh))
+        while kh % hf:  # a non-dividing fold would truncate the head grid
+            hf -= 1
+        return hf
     if r > 128:  # prefill tiles: per-iteration overhead already amortized
         return 1
     hf = 4 if kh % 4 == 0 else (2 if kh % 2 == 0 else 1)
@@ -109,8 +112,8 @@ def flash_cached_attention(
     qg = q.reshape(b, w, kh, g, d).transpose(0, 2, 1, 3, 4).reshape(b, kh, r, d)
     # score/prob tiles are (qb, block_k) f32 in VMEM: shrink the q tile as the
     # K block grows so prefill chunks fit VMEM at large adaptive blocks
-    qb_cap = max(128, (MAX_Q_ROWS * 512) // block_k)
-    qb = min(qb_cap, max(8, -(-r // 8) * 8))
+    # (shared budget rule with the ring kernel)
+    qb = _ring_qb(r, block_k)
     n_qb = -(-r // qb)
     r_pad = n_qb * qb
     if r_pad != r:
@@ -170,7 +173,11 @@ def _kernel_zeroed(lens_ref, q_ref, k_hbm, v_hbm, *rest, w, g, block_k, scale, q
         # causal horizon of this tile: its last (global) row attends keys up
         # to base + last_query_index, so later key blocks are never read
         last_q_index = jnp.minimum((row0 + r - 1) // g, w - 1)
-        total = base + last_q_index + 1
+        # clamp to the cache size: a FINISHED sample's length can legally sit
+        # at S (it wrote its last KV into slot S-1); without the clamp its
+        # masked step would DMA a key block starting at slot S (out of
+        # bounds). Valid rows always have base + horizon <= S.
+        total = jnp.minimum(base + last_q_index + 1, k_hbm.shape[2])
         nblocks = pl.cdiv(total, block_k)
         qs = [q_ref[0, t].astype(jnp.float32) * scale for t in range(hf)]
         row_pos = base + (row0 + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)) // g
@@ -384,7 +391,9 @@ def flash_ring_block(
             jax.ShapeDtypeStruct(l.shape, jnp.float32),
             jax.ShapeDtypeStruct(acc.shape, jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2},  # donate m/l/acc (post-scalar idx)
+        # donate m/l/acc. Alias indices COUNT the scalar-prefetch operand:
+        # scalars=0, qg=1, k=2, v=3, m=4, l=5, acc=6
+        input_output_aliases={4: 0, 5: 1, 6: 2},
         interpret=interpret,
     )(scalars, qg, k_blk, v_blk, m, l, acc)
     return m, l, acc

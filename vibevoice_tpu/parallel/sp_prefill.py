@@ -93,7 +93,6 @@ def ring_prefill_carry(
     valid_mask: jnp.ndarray,  # (B, T) bool
     max_len: int,
     tokens,
-    key,
     mesh: Mesh,
     *,
     axis: str = "tp",

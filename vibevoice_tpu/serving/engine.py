@@ -382,8 +382,8 @@ class ServingEngine:
                 handle._finish()
                 continue
             try:
-                key, pk, vk = jax.random.split(key, 3)
-                single, max_steps = self._prefill(handle.request, pk, vk)
+                key, _pk, vk = jax.random.split(key, 3)  # stream-compatible split
+                single, max_steps = self._prefill(handle.request, vk)
             except BaseException as e:  # surface bad requests to the caller
                 handle._finish(e)
                 continue
@@ -429,7 +429,7 @@ class ServingEngine:
     PROMPT_BUCKET = 64  # right-pad prompts to a bucket so prefill_fn compiles
     # once per bucket instead of once per length
 
-    def _prefill(self, r: Request, pk, vk):
+    def _prefill(self, r: Request, vk):
         t = r.input_ids.shape[1]
         pad = -(-t // self.PROMPT_BUCKET) * self.PROMPT_BUCKET - t
         if pad:
@@ -464,7 +464,6 @@ class ServingEngine:
             speech_args,
             use_speech,
             self.tokens,
-            pk,
             "audio",
             self.opts.kv_int8,
         )
