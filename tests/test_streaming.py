@@ -168,3 +168,27 @@ def test_text_window_padding(params, preset):
         max_len=96,
     )
     assert out.speech_outputs[0] is not None
+
+
+def test_generate_stops_before_cache_capacity(params, preset):
+    """The window loop stops BEFORE a text+speech window would advance the
+    tts caches past max_len (regression: the bound was only checked at the
+    loop top, so the final windows clamp-wrote onto committed KV slots)."""
+    preset_len = int(preset.tts_kv[2][0])  # 12
+    tts_text = np.random.RandomState(2).randint(10, 200, (1, 40))
+    for budget in (11, 12, 21, 22):  # exactly one / almost-two window pairs
+        out = st.generate(
+            CFG,
+            params,
+            tts_text_ids=tts_text,
+            preset=preset,
+            opts=GenerateOptions(cfg_scale=1.5, ddpm_steps=2),
+            max_len=preset_len + budget,
+            seed=0,
+        )
+        gen_tokens = out.sequences.shape[1] - 40
+        # every emitted window fits the budget (5 text + 6 speech = 11)
+        assert gen_tokens <= budget, (budget, gen_tokens)
+        audio = out.speech_outputs[0]
+        n_audio = 0 if audio is None else len(audio)
+        assert n_audio <= (budget // 11) * 6 * HOP

@@ -52,14 +52,7 @@ Params = Dict
 def init(key, cfg: VibeVoiceStreamingConfig, dtype=jnp.float32) -> Params:
     ks = jax.random.split(key, 7)
     h = cfg.decoder_config.hidden_size
-    import dataclasses
-
-    lower_cfg = dataclasses.replace(
-        cfg.decoder_config, num_hidden_layers=cfg.lm_num_hidden_layers
-    )
-    upper_cfg = dataclasses.replace(
-        cfg.decoder_config, num_hidden_layers=cfg.tts_backbone_num_hidden_layers
-    )
+    lower_cfg, upper_cfg = _lower_cfg(cfg), _upper_cfg(cfg)
     std = cfg.decoder_config.initializer_range
 
     def lin(k, cin, cout):
@@ -243,10 +236,19 @@ def build_voice_preset(
     _, neg_tts_cache, _, neg_tts_h = prefill(neg_ids)
 
     def kv(c):
+        # slice to the TRUE head_dim (make_cache lane-pads to 128 for the
+        # flash kernel; a preset saved padded would crash on a flash-off
+        # backend and double the file size) and fetch the whole cache in ONE
+        # jax.device_get (each separate fetch costs ~25 ms RTT on the
+        # remote-TPU transport)
         ln = int(c.length[0])
+        d = cfg.decoder_config.head_dim
+        k, v = jax.device_get(
+            ([x[:, :, :ln, :d] for x in c.k], [x[:, :, :ln, :d] for x in c.v])
+        )
         return (
-            np.stack([np.asarray(x[:, :, :ln], np.float32) for x in c.k]),
-            np.stack([np.asarray(x[:, :, :ln], np.float32) for x in c.v]),
+            np.stack([np.asarray(x, np.float32) for x in k]),
+            np.stack([np.asarray(x, np.float32) for x in v]),
             np.asarray(c.length),
         )
 
@@ -418,6 +420,8 @@ def generate(
     frame_counter = 0
     if inject:
         bank_init = jnp.asarray(noise_bank["init"])
+        if opts.sde and "sde" not in noise_bank:
+            raise ValueError("injection with opts.sde requires noise_bank['sde']")
         bank_sde = jnp.asarray(noise_bank["sde"]) if opts.sde else None
 
     state = init_stream_state(cfg, params, preset, max_len, kv_int8=opts.kv_int8)
@@ -438,7 +442,10 @@ def generate(
             break
         if bool(finished_np.all()):
             break
-        if steps >= max_steps:
+        if steps + w + TTS_SPEECH_WINDOW_SIZE > max_steps:
+            # the next text+speech window would advance the tts caches past
+            # max_len: dynamic_update_slice would CLAMP those writes onto
+            # committed KV slots (silent corruption) — stop cleanly instead
             break
 
         if text_pos < n_text:
@@ -462,6 +469,11 @@ def generate(
                 )
             noise = {"init": bank_init[frame_counter : frame_counter + w6]}
             if opts.sde:
+                if frame_counter + w6 > bank_sde.shape[0]:
+                    raise ValueError(
+                        f"noise_bank['sde'] has {bank_sde.shape[0]} rows but frame "
+                        f"{frame_counter + w6} is needed; enlarge the bank"
+                    )
                 noise["sde"] = bank_sde[frame_counter : frame_counter + w6]
             frame_counter += w6
             state, audio, eos = speech_window_fn(params, state, sk, noise)

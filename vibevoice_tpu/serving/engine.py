@@ -390,12 +390,30 @@ class ServingEngine:
             if handle.cancelled.is_set():  # cancelled during prefill
                 handle._finish()
                 continue
+            placed = False
             while not self._stop.is_set():
                 try:
                     self.ready.put((handle, single, max_steps), timeout=0.1)
+                    placed = True
                     break
                 except queue.Full:
                     continue
+            if not placed:
+                # engine stopping while this prefill was in flight: nothing
+                # will ever consume the entry — a handle stranded here hangs
+                # its caller's result()/stream() forever
+                handle._finish(RuntimeError("engine is stopped"))
+            elif self._stop.is_set():
+                # placed, but the decode thread may already have run its
+                # final drain: sweep whatever is still queued (a duplicate
+                # _finish only adds a redundant end-sentinel)
+                while True:
+                    try:
+                        self.ready.get_nowait()[0]._finish(
+                            RuntimeError("engine is stopped")
+                        )
+                    except queue.Empty:
+                        break
 
     # ------------------------------------------------------------------
     # decode worker
@@ -404,7 +422,34 @@ class ServingEngine:
     def _admit(self):
         """Splice completed prefills into free slots (cheap jitted updates,
         called between decode dispatches)."""
-        while True:  # drain the bounded queue unconditionally (see _ready_local)
+        # Drain the ready queue, but BOUND the staging list: each staged entry
+        # holds a full batch-2 x max_len KV cache in HBM, so an unbounded
+        # drain under a submit burst with every slot busy would OOM the chip.
+        # Cancelled/expired entries are always swept (they hold no slot and
+        # must finish promptly); live entries stage only up to max_batch —
+        # total prefilled carries are then <= max_batch + ready.maxsize + 1.
+        while True:
+            if len(self._ready_local) >= self.max_batch:
+                requeue = []
+                try:
+                    while True:
+                        item = self.ready.get_nowait()
+                        h = item[0]
+                        if h._deadline_exceeded() and not h.cancelled.is_set():
+                            h.deadline_expired = True
+                            h.cancel()
+                        if h.cancelled.is_set():
+                            h._finish()
+                        else:
+                            requeue.append(item)
+                except queue.Empty:
+                    pass
+                for item in requeue:
+                    try:
+                        self.ready.put_nowait(item)
+                    except queue.Full:  # prefill thread refilled meanwhile
+                        self._ready_local.append(item)
+                break
             try:
                 self._ready_local.append(self.ready.get_nowait())
             except queue.Empty:
@@ -483,13 +528,15 @@ class ServingEngine:
             raise
 
     def _drain(self, error=None):
-        """Fail/finish every slot and queued request (active slots get
-        `error` when the loop died, a clean finish on normal shutdown)."""
+        """Fail/finish every slot and queued request. Active slots are
+        truncated mid-generation, so they get an error too (a caller must be
+        able to tell a partial waveform from a completed one; the audio
+        already delivered through stream() remains consumed)."""
+        leftover = error or RuntimeError("engine shut down")
         for i, h in enumerate(self.slots):
             if h is not None:
-                h._finish(error)
+                h._finish(leftover)
                 self.slots[i] = None
-        leftover = error or RuntimeError("engine shut down")
         for item in self._ready_local:
             item[0]._finish(leftover)
         self._ready_local = []
