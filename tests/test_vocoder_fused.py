@@ -179,3 +179,31 @@ class TestFusedHead:
                              forced_tokens=script, noise_bank=bank)
         a, b = out.speech_outputs[0], out_d.speech_outputs[0]
         assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-3) < 0.2
+
+
+def test_fuse_after_quantize_keeps_dense(params):
+    """An already-int8 FFN (quantize_for_inference('tokenizers') replaced
+    'w' with 'w8') must make fuse_hot_stages keep the stage DENSE — the
+    fused kernel quantizes in-kernel itself — instead of KeyErroring at
+    pack time (the BENCH_INT8_TOK=1 ordering)."""
+    from vibevoice_tpu.ops.quant import quantize_weight
+
+    dec = jax.tree.map(lambda x: x, params["decoder"])  # deep-ish copy
+    stages = [list(st) for st in dec["stages"]]
+    blocks = []
+    for blk in stages[0]:
+        nb = dict(blk)
+        nb["ffn"] = dict(blk["ffn"])
+        for name in ("fc1", "fc2"):
+            e = dict(nb["ffn"][name])
+            q = quantize_weight(e.pop("w"))
+            e.update(q)
+            nb["ffn"][name] = e
+        blocks.append(nb)
+    stages[0] = blocks
+    dec = dict(dec)
+    dec["stages"] = stages
+
+    fused = tok.fuse_hot_stages({"decoder": dec}, ACFG, quantize=True)
+    assert "stage0_packed" not in fused["decoder"]  # quantized stage stays dense
+    assert fused["decoder"]["stages"][0]  # dense blocks intact

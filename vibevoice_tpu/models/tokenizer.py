@@ -252,9 +252,19 @@ def fuse_hot_stages(tok_params: Params, cfg, quantize: bool = True, keep_dense: 
             return False
         if "w" not in blocks[0]["norm"]:  # affine-free norms: dense path
             return False
-        dim = blocks[0]["norm"]["w"].shape[0]
-        hid = blocks[0]["ffn"]["fc1"]["w"].shape[1]
-        if blocks[0]["mixer"]["w"].shape[1] != 1:
+        b0 = blocks[0]
+        # pack_stage needs dense weights (already-int8 FFNs stay dense here:
+        # the fused kernel does its OWN in-kernel int8 via quantize=True),
+        # biases, and the layer-scale gammas
+        if any(
+            k not in b0 for k in ("gamma", "ffn_gamma", "ffn_norm")
+        ) or "w" not in b0["ffn"]["fc1"] or "b" not in b0["ffn"]["fc1"]:
+            return False
+        if "b" not in b0["mixer"] or "b" not in b0["ffn"]["fc2"]:
+            return False
+        dim = b0["norm"]["w"].shape[0]
+        hid = b0["ffn"]["fc1"]["w"].shape[1]
+        if b0["mixer"]["w"].shape[1] != 1:
             return False  # fused kernel assumes the depthwise mixer layout
         # Mosaic needs 128-lane tiles; tiny test configs run interpret on CPU
         return (dim % 128 == 0 and hid % 128 == 0) or _fuse_interpret()
@@ -306,14 +316,10 @@ def reset_state(state: State, sample_mask: jnp.ndarray) -> State:
 
 
 def _ffn_mm(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    if "w8" in p:
-        from ..ops.quant import mm as qmm
+    from ..ops.quant import mm as qmm
 
-        return qmm(x, p)
-    y = jnp.dot(x, p["w"].astype(x.dtype))
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
+    # quant.mm handles dense/w8/w4 + bias + runtime LoRA branches uniformly
+    return qmm(x, p)
 
 
 def _norm_apply(p: Params, x: jnp.ndarray, cfg) -> jnp.ndarray:
@@ -380,6 +386,12 @@ def encoder_apply(
         if packed is not None and state is not None and x.shape[1] == 1:
             x = _fused_stage_apply(packed, x, state, new_state, i, depths[i])
         else:
+            if packed is not None and len(params["stages"][i]) != depths[i]:
+                raise ValueError(
+                    f"stage {i} was packed without its dense blocks; this "
+                    "path (batch-mode or multi-frame window) needs "
+                    "fuse_hot_stages(keep_dense=True)"
+                )
             for j in range(depths[i]):
                 bstate = None if state is None else state[f"s{i}_{j}"]
                 x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)
@@ -425,6 +437,12 @@ def decoder_apply(
         if packed is not None and state is not None and x.shape[1] == 1:
             x = _fused_stage_apply(packed, x, state, new_state, i, depths[i])
         else:
+            if packed is not None and len(params["stages"][i]) != depths[i]:
+                raise ValueError(
+                    f"stage {i} was packed without its dense blocks; this "
+                    "path (batch-mode or multi-frame window) needs "
+                    "fuse_hot_stages(keep_dense=True)"
+                )
             for j in range(depths[i]):
                 bstate = None if state is None else state[f"s{i}_{j}"]
                 x, bs = _block_apply(params["stages"][i][j], x, cfg, bstate)

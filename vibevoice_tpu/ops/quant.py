@@ -147,7 +147,13 @@ def int8_matmul(
             picked = None
     block_k = block_k or BLOCK_K or (picked and picked[0]) or 0
     block_n = block_n or BLOCK_N or (picked and picked[1]) or 0
-    if QUANT_IMPL == "xla" or not block_k or cin % block_k or cout % block_n:
+    if (
+        QUANT_IMPL == "xla"
+        or not block_k
+        or not block_n
+        or cin % block_k
+        or cout % block_n
+    ):
         # fallback when no divisor blocks fit (odd tiny dims) or forced
         y = jnp.dot(x2.astype(jnp.bfloat16), (w8.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)))
         return y[:rows].reshape(*orig_shape[:-1], cout).astype(x.dtype)

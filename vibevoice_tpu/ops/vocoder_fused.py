@@ -216,7 +216,11 @@ def fused_stage_step(
         x2 = jnp.pad(x2, ((0, rows - b_), (0, 0)))
         states = jnp.pad(states, ((0, 0), (0, rows - b_), (0, 0), (0, 0)))
 
+    # largest 128-lane-multiple chunk <= CHUNK that divides hid (one always
+    # exists: pack requires hid % 128 == 0, and 128 divides hid)
     chunk = min(CHUNK, hid)
+    while chunk > 128 and hid % chunk:
+        chunk -= 128
     assert hid % chunk == 0, (hid, chunk)
     n_chunks = hid // chunk
     if packed.quantized:

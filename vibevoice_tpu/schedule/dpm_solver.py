@@ -327,7 +327,11 @@ def make_solver(
         raise ValueError(final_sigmas_type)
     sigmas = np.concatenate([sigmas, [sigma_last]])
 
-    n = num_inference_steps
+    # 'trailing' spacing with a finite lambda_min_clipped can yield fewer
+    # than num_inference_steps timesteps; the reference shrinks the step
+    # count to match (set_timesteps :321-423) — mirror that instead of
+    # indexing past the sigma table
+    n = len(timesteps)
 
     def split(sigma):
         alpha = 1.0 / np.sqrt(sigma**2 + 1)
@@ -529,6 +533,13 @@ def sample(
         z_seq = jax.random.split(key, n)
         use_keys = True
     else:
+        if bool(np.any(np.asarray(coeffs.c_noise) != 0.0)):
+            # SDE coefficients need variance noise; zero noise would run a
+            # silently wrong-distribution trajectory (the reference always
+            # draws internally, dpm_solver.py:956-960)
+            raise ValueError(
+                "sde-dpmsolver(++) coefficients require `key` or `noise`"
+            )
         z_seq = jnp.zeros((n,) + x_init.shape, jnp.float32)
         use_keys = False
 
@@ -574,9 +585,9 @@ def cfg_sample(
 
     With `extras` (per-step (N, ...) pytree, e.g. hoisted AdaLN modulations
     for the 2B batch), head_fn is called as head_fn(x2, t2, extra_slice)."""
-    both = jnp.concatenate([cond, uncond], axis=0)
-
     if extras is None:
+        both = jnp.concatenate([cond, uncond], axis=0)
+
         def denoise(x, t):
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
