@@ -125,9 +125,23 @@ def build_server(args):
         frames_per_dispatch=getattr(args, "frames_per_dispatch", 1),
         pipeline=not getattr(args, "no_pipeline", False),
         mesh=mesh,
+        speech_bucket=int(getattr(args, "speech_bucket_s", 0.0) * 24_000),
     )
+    if getattr(args, "warmup", False):
+        # prime the prompt-bucket prefill, the voice-clone prefill variant at
+        # one speech bucket, the slot splice, and the fused decode step, so
+        # the first real request streams at steady-state latency
+        spent = engine.warmup(prompt_tokens=getattr(args, "warmup_tokens", 256))
+        vb = int(getattr(args, "speech_bucket_s", 0.0) * 24_000)
+        if vb:
+            spent += engine.warmup(
+                prompt_tokens=getattr(args, "warmup_tokens", 256), voice_samples=vb
+            )
+        print(f"[serve] warmup compiled the serving path in {spent:.1f}s")
     voices_dir = args.voices_dir
     rt = _build_rt(args) if getattr(args, "streaming_model_path", None) else None
+    if rt is not None and getattr(args, "warmup", False):
+        print(f"[serve] /tts/rt warmup took {rt.warmup():.1f}s")
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
@@ -323,6 +337,16 @@ def main():
                     help="voice preset for /tts/rt (.npz native or .pt reference)")
     ap.add_argument("--streaming_max_len", type=int, default=8192)
     ap.add_argument("--streaming_ddpm_steps", type=int, default=5)
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile prefill/splice/decode at startup so the "
+                         "first request never pays the first-shape compile")
+    ap.add_argument("--warmup_tokens", type=int, default=256,
+                    help="prompt bucket to prime with --warmup")
+    ap.add_argument("--speech_bucket_s", type=float, default=5.0,
+                    help="pad voice-clone audio to a multiple of this many "
+                         "seconds so prefill compiles once per bucket, not "
+                         "once per voice length (0 disables; exact — causal "
+                         "encoder + masked splice)")
     ap.add_argument("--request_timeout", type=float, default=600.0)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

@@ -144,6 +144,9 @@ def test_http_server_whole_and_chunked_stream():
         voices_dir = "/nonexistent"
         request_timeout = 300.0
         verbose = False
+        warmup = True  # exercises build_server's startup-warmup wiring
+        warmup_tokens = 8
+        speech_bucket_s = 0.0
 
     server = build_server(A)
     port = server.server_address[1]
@@ -524,3 +527,119 @@ def test_http_rt_streaming_endpoint():
     finally:
         server.shutdown()
         server.engine.shutdown()
+
+
+def _make_voice_request(seed, samples=27, n=12):
+    """A voice-clone request: waveform of a NON-hop-multiple length (exercises
+    the ceil frame count) spliced at `frames` masked prompt positions."""
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(10, 100, (1, n)).astype(np.int64)
+    ids[0, -1] = TOKENS.speech_start
+    frames = -(-samples // HOP)
+    mask = np.zeros((1, n), bool)
+    mask[0, 2 : 2 + frames] = True
+    return Request(
+        input_ids=ids,
+        valid_mask=np.ones((1, n), bool),
+        speech_tensors=(rng.randn(1, samples) * 0.1).astype(np.float32),
+        speech_frame_valid=np.ones((1, frames), bool),
+        speech_input_mask=mask,
+        seed=seed,
+    )
+
+
+def test_speech_bucket_prefill_is_exact():
+    """Voice-length bucketing (pad the waveform to a sample bucket, pad the
+    frame-valid mask with False) must not change the prefilled carry: the
+    encoder is causal, the splice is rank-matched over valid frames, and the
+    single clip's VAE noise draw is a prefix of the padded-shape draw.
+    Compared at the prefill output (not end-to-end audio: XLA convs at a
+    different input length round differently at ~1e-7, which an
+    autoregressive loop amplifies into different token choices)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    vk = jax.random.PRNGKey(1234)
+    singles = []
+    for bucket in (0, 64):
+        eng = ServingEngine(
+            CFG,
+            params,
+            tokens=TOKENS,
+            opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+            max_batch=1,
+            max_len=128,
+            speech_bucket=bucket,
+        )
+        try:
+            single, max_steps = eng._prefill(_make_voice_request(7), vk)
+            singles.append(jax.device_get(single))
+        finally:
+            eng.shutdown()
+    a, b = singles
+    np.testing.assert_array_equal(a.cache.length, b.cache.length)
+    n = int(a.cache.length[0])
+    for ka, kb, va_, vb_ in zip(a.cache.k, b.cache.k, a.cache.v, b.cache.v):
+        np.testing.assert_allclose(ka[:, :, :n], kb[:, :, :n], atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(va_[:, :, :n], vb_[:, :, :n], atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(a.h_pos, b.h_pos, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(a.h_neg, b.h_neg, atol=2e-5, rtol=1e-5)
+
+
+def test_warmup_primes_and_stays_out_of_stats():
+    """warmup() runs a synthetic request through prefill -> splice -> decode
+    (priming the compiles) and leaves the stats registry untouched."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=2,
+        max_len=128,
+        speech_bucket=64,
+    )
+    try:
+        assert eng.warmup(prompt_tokens=8, timeout=240) > 0
+        assert eng.warmup(prompt_tokens=8, voice_samples=64, timeout=240) > 0
+        s = eng.stats()
+        assert s.submitted == 0 and s.active == 0
+        audio = eng.submit(_make_request(3)).result(timeout=240)
+        assert len(audio) % HOP == 0
+        assert eng.stats().submitted == 1
+    finally:
+        eng.shutdown()
+
+
+def test_graceful_drain_shutdown():
+    """shutdown(drain=True): in-flight requests complete with audio; new
+    submissions fail fast with 'engine is draining'."""
+    import threading
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=2,
+        max_len=128,
+    )
+    h = eng.submit(_make_request(11))
+    done = threading.Event()
+    t = threading.Thread(target=lambda: (eng.shutdown(timeout=240, drain=True), done.set()))
+    t.start()
+    audio = h.result(timeout=240)  # completes despite the drain
+    assert len(audio) % HOP == 0 and h.error is None
+    # once draining, new work is rejected promptly with a clear error
+    assert eng._draining.wait(60)
+    h2 = eng.submit(_make_request(12))
+    with pytest.raises(RuntimeError):
+        h2.result(timeout=10)
+    done.wait(240)
+    t.join(10)
+    assert eng._stop.is_set()

@@ -72,3 +72,12 @@ def test_streaming_tts_smoke():
     hop = rt.cfg.acoustic_tokenizer_config.hop_length
     assert len(audio) % hop == 0
     assert len(audio) > 0  # EOS classifier on random weights still emits >=1 window
+
+
+def test_streaming_tts_warmup():
+    """warmup() compiles the windowed generate path by driving (and bounding)
+    one synthetic stream; a real stream afterwards behaves normally."""
+    rt = StreamingTTS.smoke()
+    assert rt.warmup(max_frames=3, ddpm_steps=2) > 0
+    audio = rt.synthesize("hello after warmup", ddpm_steps=2)
+    assert len(audio) > 0

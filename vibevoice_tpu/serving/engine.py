@@ -196,6 +196,17 @@ class ServingEngine:
         frames_per_dispatch: Optional[int] = None,  # None -> opts.frames_per_dispatch
         pipeline: bool = True,
         mesh=None,  # jax.sharding.Mesh with a "tp" axis: TP-sharded serving
+        speech_bucket: int = 0,  # pad voice-clone waveforms to a multiple of
+        # this many samples (0 = off). Prompt token lengths are already
+        # bucketed (PROMPT_BUCKET), but every distinct voice-sample length is
+        # otherwise a fresh prefill_fn compile (1-3 min first time on this
+        # TPU). Exact: the acoustic encoder is causal, so trailing zero
+        # samples never change earlier latent frames, and the padded frames
+        # carry speech_frame_valid=False so the splice ignores them. (The
+        # σ-VAE sample noise is drawn at the padded shape: bit-identical to
+        # the unbucketed run for one voice clip — threefry fills row-major,
+        # so the first clip's draw is a prefix — and a fresh but identically
+        # distributed draw for later clips, exactly like changing the seed.)
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -219,6 +230,9 @@ class ServingEngine:
         self.opts = opts
         self.max_batch = max_batch
         self.max_len = max_len
+        hop = cfg.acoustic_tokenizer_config.hop_length
+        # round the bucket itself up to a hop multiple so frame counts bucket too
+        self.speech_bucket = -(-speech_bucket // hop) * hop if speech_bucket else 0
         self.idle_sleep = idle_sleep
         # frames_per_dispatch > 1 scans K fused frame steps per dispatch
         # (host round-trips are ~10 ms on the remote-TPU transport — at 1
@@ -298,6 +312,10 @@ class ServingEngine:
         self._start_time = time.monotonic()
         self._hop = cfg.acoustic_tokenizer_config.hop_length
         self._stop = threading.Event()
+        self._draining = threading.Event()
+        # True while the prefill worker holds a request popped from `pending`
+        # but not yet placed on `ready` — drain's idle check must see it
+        self._prefill_busy = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._prefill_thread = threading.Thread(target=self._prefill_loop, daemon=True)
         self._thread.start()
@@ -311,11 +329,15 @@ class ServingEngine:
         handle = RequestHandle(request)
         with self._recs_lock:
             self._recs.append(handle.rec)
-        if self._stop.is_set():
-            # a stopped engine (shutdown or dead decode loop) must never
-            # accept work that nothing will consume — fail fast, not a
+        if self._stop.is_set() or self._draining.is_set():
+            # a stopped/draining engine (shutdown or dead decode loop) must
+            # never accept work that nothing will consume — fail fast, not a
             # forever-blocked handle.stream()
-            handle._finish(RuntimeError("engine is stopped"))
+            handle._finish(
+                RuntimeError(
+                    "engine is draining" if self._draining.is_set() else "engine is stopped"
+                )
+            )
             return handle
         self.pending.put(handle)
         if self._stop.is_set():
@@ -327,6 +349,58 @@ class ServingEngine:
             except queue.Empty:
                 pass
         return handle
+
+    def warmup(
+        self,
+        prompt_tokens: int = 64,
+        voice_samples: int = 0,
+        timeout: float = 600.0,
+    ) -> float:
+        """Pre-compile the serving hot path so the FIRST real request never
+        pays the first-shape compile (1-3 min per program on this TPU, even
+        with the persistent compile cache the very first deployment run).
+
+        Submits a synthetic request through the normal prefill -> splice ->
+        decode path and discards its audio. `prompt_tokens` picks the prompt
+        bucket to prime (lengths are padded to PROMPT_BUCKET, so one warmup
+        covers every prompt that rounds to the same bucket); `voice_samples`
+        > 0 additionally primes the voice-clone prefill variant (pair it with
+        `speech_bucket` so real voice lengths hit the warmed shape). The
+        decode step itself is shape-independent, so any warmup primes it.
+
+        Returns wall seconds spent. The synthetic request is removed from the
+        stats() registry; only its few frames count toward frames_emitted.
+        """
+        t0 = time.monotonic()
+        n = max(2, min(prompt_tokens, self.max_len // 2))
+        ids = np.zeros((1, n), np.int64)
+        ids[0, -1] = self.tokens.speech_start
+        kw = {}
+        if voice_samples > 0:
+            hop = self._hop
+            frames = -(-voice_samples // hop)
+            kw = dict(
+                speech_tensors=np.zeros((1, voice_samples), np.float32),
+                speech_frame_valid=np.zeros((1, frames), bool),
+                speech_input_mask=np.zeros((1, n), bool),
+            )
+        # bound the generation to ~one dispatch window of frames
+        times = max(self.frames_per_dispatch, 1) / n
+        h = self.submit(
+            Request(
+                input_ids=ids,
+                valid_mask=np.ones((1, n), bool),
+                max_length_times=times,
+                **kw,
+            )
+        )
+        h.result(timeout=timeout)
+        with self._recs_lock:
+            try:
+                self._recs.remove(h.rec)
+            except ValueError:
+                pass
+        return time.monotonic() - t0
 
     def stats(self) -> EngineStats:
         """Observability snapshot. Cheap (walks the bounded scalar-record
@@ -358,7 +432,27 @@ class ServingEngine:
             uptime_s=time.monotonic() - self._start_time,
         )
 
-    def shutdown(self, timeout: float = 30.0):
+    def shutdown(self, timeout: float = 30.0, drain: bool = False):
+        """Stop the engine. With ``drain=True`` (graceful rollout shutdown),
+        first stop accepting submissions (they fail fast with "engine is
+        draining") and let already-accepted requests run to completion —
+        up to `timeout` seconds — before stopping the worker threads;
+        anything still unfinished at the deadline is failed by the normal
+        drain path."""
+        if drain and not self._stop.is_set():
+            self._draining.set()
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                idle = (
+                    self.pending.empty()
+                    and not self._prefill_busy
+                    and self.ready.empty()
+                    and not self._ready_local
+                    and all(h is None for h in self.slots)
+                )
+                if idle:
+                    break
+                time.sleep(0.05)
         self._stop.set()
         self._thread.join(timeout)
         self._prefill_thread.join(timeout)
@@ -374,46 +468,57 @@ class ServingEngine:
                 handle = self.pending.get(timeout=0.02)
             except queue.Empty:
                 continue
-            if handle.cancelled.is_set():  # cancelled before prefill
-                handle._finish()
-                continue
-            if handle._deadline_exceeded():  # expired while queued
-                handle.deadline_expired = True
-                handle._finish()
-                continue
+            # mark in-flight so a graceful drain's idle check sees a request
+            # that is no longer queued but not yet placed on `ready`
+            self._prefill_busy = True
             try:
-                key, _pk, vk = jax.random.split(key, 3)  # stream-compatible split
-                single, max_steps = self._prefill(handle.request, vk)
-            except BaseException as e:  # surface bad requests to the caller
-                handle._finish(e)
+                key = self._prefill_one(handle, key)
+            finally:
+                self._prefill_busy = False
+
+    def _prefill_one(self, handle, key):
+        """One request's prefill; returns the advanced RNG key."""
+        if handle.cancelled.is_set():  # cancelled before prefill
+            handle._finish()
+            return key
+        if handle._deadline_exceeded():  # expired while queued
+            handle.deadline_expired = True
+            handle._finish()
+            return key
+        try:
+            key, _pk, vk = jax.random.split(key, 3)  # stream-compatible split
+            single, max_steps = self._prefill(handle.request, vk)
+        except BaseException as e:  # surface bad requests to the caller
+            handle._finish(e)
+            return key
+        if handle.cancelled.is_set():  # cancelled during prefill
+            handle._finish()
+            return key
+        placed = False
+        while not self._stop.is_set():
+            try:
+                self.ready.put((handle, single, max_steps), timeout=0.1)
+                placed = True
+                break
+            except queue.Full:
                 continue
-            if handle.cancelled.is_set():  # cancelled during prefill
-                handle._finish()
-                continue
-            placed = False
-            while not self._stop.is_set():
+        if not placed:
+            # engine stopping while this prefill was in flight: nothing
+            # will ever consume the entry — a handle stranded here hangs
+            # its caller's result()/stream() forever
+            handle._finish(RuntimeError("engine is stopped"))
+        elif self._stop.is_set():
+            # placed, but the decode thread may already have run its
+            # final drain: sweep whatever is still queued (a duplicate
+            # _finish only adds a redundant end-sentinel)
+            while True:
                 try:
-                    self.ready.put((handle, single, max_steps), timeout=0.1)
-                    placed = True
+                    self.ready.get_nowait()[0]._finish(
+                        RuntimeError("engine is stopped")
+                    )
+                except queue.Empty:
                     break
-                except queue.Full:
-                    continue
-            if not placed:
-                # engine stopping while this prefill was in flight: nothing
-                # will ever consume the entry — a handle stranded here hangs
-                # its caller's result()/stream() forever
-                handle._finish(RuntimeError("engine is stopped"))
-            elif self._stop.is_set():
-                # placed, but the decode thread may already have run its
-                # final drain: sweep whatever is still queued (a duplicate
-                # _finish only adds a redundant end-sentinel)
-                while True:
-                    try:
-                        self.ready.get_nowait()[0]._finish(
-                            RuntimeError("engine is stopped")
-                        )
-                    except queue.Empty:
-                        break
+        return key
 
     # ------------------------------------------------------------------
     # decode worker
@@ -491,6 +596,21 @@ class ServingEngine:
                 ),
             )
         use_speech = r.speech_tensors is not None
+        if use_speech and self.speech_bucket:
+            import dataclasses
+
+            hop = self._hop
+            s = r.speech_tensors.shape[1]
+            s_pad = -(-s // self.speech_bucket) * self.speech_bucket - s
+            if s_pad:
+                frames = -(-(s + s_pad) // hop) - r.speech_frame_valid.shape[1]
+                r = dataclasses.replace(
+                    r,
+                    speech_tensors=np.pad(r.speech_tensors, ((0, 0), (0, s_pad))),
+                    speech_frame_valid=np.pad(
+                        r.speech_frame_valid, ((0, 0), (0, frames))
+                    ),
+                )
         speech_args = None
         if use_speech:
             speech_args = (

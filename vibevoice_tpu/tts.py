@@ -340,6 +340,20 @@ class StreamingTTS:
             stop.set()
             t.join()
 
+    def warmup(self, max_frames: int = 12, **overrides) -> float:
+        """Compile the windowed generate path (prefill splice + text window +
+        speech window + vocoder) before the first real session, so TTFA on
+        that session is steady-state. Drives one short synthetic stream and
+        discards the audio; window programs are length-independent, so one
+        warmup covers every text. Returns wall seconds spent."""
+        import time
+
+        t0 = time.monotonic()
+        for i, _ in enumerate(self.stream("Warming up the serving path.", **overrides)):
+            if i >= max_frames:  # closing the generator stops generation
+                break
+        return time.monotonic() - t0
+
     def synthesize(self, text: str, **kw) -> np.ndarray:
         chunks = list(self.stream(text, **kw))
         return (
