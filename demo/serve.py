@@ -112,6 +112,7 @@ def build_server(args):
 
         mesh = make_mesh(dp=1, tp=args.tp)
 
+    vb = int(getattr(args, "speech_bucket_s", 0.0) * SAMPLE_RATE)
     engine = ServingEngine(
         cfg,
         params,
@@ -125,14 +126,13 @@ def build_server(args):
         frames_per_dispatch=getattr(args, "frames_per_dispatch", 1),
         pipeline=not getattr(args, "no_pipeline", False),
         mesh=mesh,
-        speech_bucket=int(getattr(args, "speech_bucket_s", 0.0) * 24_000),
+        speech_bucket=vb,
     )
     if getattr(args, "warmup", False):
         # prime the prompt-bucket prefill, the voice-clone prefill variant at
         # one speech bucket, the slot splice, and the fused decode step, so
         # the first real request streams at steady-state latency
         spent = engine.warmup(prompt_tokens=getattr(args, "warmup_tokens", 256))
-        vb = int(getattr(args, "speech_bucket_s", 0.0) * 24_000)
         if vb:
             spent += engine.warmup(
                 prompt_tokens=getattr(args, "warmup_tokens", 256), voice_samples=vb

@@ -313,9 +313,12 @@ class ServingEngine:
         self._hop = cfg.acoustic_tokenizer_config.hop_length
         self._stop = threading.Event()
         self._draining = threading.Event()
-        # True while the prefill worker holds a request popped from `pending`
-        # but not yet placed on `ready` — drain's idle check must see it
-        self._prefill_busy = False
+        # Graceful-drain idle detection rides Queue.unfinished_tasks: put()
+        # increments, and the workers call task_done() only once an item is
+        # fully settled (finished, staged in _ready_local, or in a slot) — so
+        # a request popped from a queue but still in a worker's hands keeps
+        # the drain poll busy. A bare "busy" flag had a TOCTOU here: it was
+        # set only after get() returned.
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._prefill_thread = threading.Thread(target=self._prefill_loop, daemon=True)
         self._thread.start()
@@ -346,6 +349,7 @@ class ServingEngine:
             # redundant end-sentinel, which consumers never reach)
             try:
                 self.pending.get_nowait()._finish(RuntimeError("engine is stopped"))
+                self.pending.task_done()
             except queue.Empty:
                 pass
         return handle
@@ -394,12 +398,19 @@ class ServingEngine:
                 **kw,
             )
         )
-        h.result(timeout=timeout)
-        with self._recs_lock:
-            try:
-                self._recs.remove(h.rec)
-            except ValueError:
-                pass
+        try:
+            h.result(timeout=timeout)
+        except BaseException:
+            # compile hang / timeout: cancel so the synthetic request frees
+            # its decode slot instead of occupying capacity forever
+            h.cancel()
+            raise
+        finally:
+            with self._recs_lock:
+                try:
+                    self._recs.remove(h.rec)
+                except ValueError:
+                    pass
         return time.monotonic() - t0
 
     def stats(self) -> EngineStats:
@@ -443,10 +454,11 @@ class ServingEngine:
             self._draining.set()
             deadline = time.monotonic() + timeout
             while time.monotonic() < deadline:
+                # unfinished_tasks covers items popped from a queue but not
+                # yet settled by the worker holding them (see __init__ note)
                 idle = (
-                    self.pending.empty()
-                    and not self._prefill_busy
-                    and self.ready.empty()
+                    self.pending.unfinished_tasks == 0
+                    and self.ready.unfinished_tasks == 0
                     and not self._ready_local
                     and all(h is None for h in self.slots)
                 )
@@ -468,13 +480,14 @@ class ServingEngine:
                 handle = self.pending.get(timeout=0.02)
             except queue.Empty:
                 continue
-            # mark in-flight so a graceful drain's idle check sees a request
-            # that is no longer queued but not yet placed on `ready`
-            self._prefill_busy = True
+            # task_done only after the request is settled (finished, or put on
+            # `ready` — which incremented ready.unfinished_tasks first), so a
+            # graceful drain's idle check never sees a gap while the request
+            # is in this worker's hands
             try:
                 key = self._prefill_one(handle, key)
             finally:
-                self._prefill_busy = False
+                self.pending.task_done()
 
     def _prefill_one(self, handle, key):
         """One request's prefill; returns the advanced RNG key."""
@@ -516,6 +529,7 @@ class ServingEngine:
                     self.ready.get_nowait()[0]._finish(
                         RuntimeError("engine is stopped")
                     )
+                    self.ready.task_done()
                 except queue.Empty:
                     break
         return key
@@ -545,18 +559,22 @@ class ServingEngine:
                             h.cancel()
                         if h.cancelled.is_set():
                             h._finish()
+                            self.ready.task_done()
                         else:
                             requeue.append(item)
                 except queue.Empty:
                     pass
                 for item in requeue:
                     try:
-                        self.ready.put_nowait(item)
+                        self.ready.put_nowait(item)  # re-put before task_done:
+                        # unfinished_tasks never dips while the item is live
                     except queue.Full:  # prefill thread refilled meanwhile
                         self._ready_local.append(item)
+                    self.ready.task_done()
                 break
             try:
                 self._ready_local.append(self.ready.get_nowait())
+                self.ready.task_done()
             except queue.Empty:
                 break
         keep: List = []
@@ -663,11 +681,13 @@ class ServingEngine:
         while True:
             try:
                 self.ready.get_nowait()[0]._finish(leftover)
+                self.ready.task_done()
             except queue.Empty:
                 break
         while True:
             try:
                 self.pending.get_nowait()._finish(leftover)
+                self.pending.task_done()
             except queue.Empty:
                 break
 
