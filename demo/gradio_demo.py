@@ -1,7 +1,9 @@
 """Gradio web UI for VibeVoice-TPU (parity with reference demo/gradio_demo.py):
-multi-speaker script entry, voice presets, live streaming playback via a
-background generation thread + AudioStreamer, stop button, cfg/steps/seed
-controls.
+multi-speaker script entry with a speaker-count selector, voice presets plus
+custom voice-sample upload for cloning, live streaming playback via a
+background generation thread + AudioStreamer, a complete-audio download widget
+that appears when generation finishes (reference :846-868), a generation log
+panel (reference :873-879), stop button, cfg/steps/seed controls.
 
 Requires `gradio` (not bundled in this image); fails with a clear message
 otherwise. The model path may be an HF-style or native checkpoint; without
@@ -13,6 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import tempfile
 import threading
 import time
 
@@ -21,6 +24,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SAMPLE_RATE = 24_000
+
+
+def _write_complete_wav(audio: np.ndarray) -> str:
+    """Write the full take to a temp WAV for the download widget
+    (reference _write_complete_wav, gradio_demo.py:500)."""
+    from vibevoice_tpu.processor.audio import write_wav
+
+    fd, path = tempfile.mkstemp(suffix=".wav", prefix="vibevoice_")
+    os.close(fd)
+    write_wav(path, audio, SAMPLE_RATE)
+    return path
 
 
 class VibeVoiceDemo:
@@ -75,11 +89,26 @@ class VibeVoiceDemo:
         self.ddpm_steps = ddpm_steps
         self.sde = sde
 
-    def generate_streaming(self, script: str, voice_paths, cfg_scale: float, steps: int, seed: int, session_id: str):
-        """Generator: yields (sample_rate, np.int16 audio) chunks for the UI."""
+    def generate_streaming(
+        self,
+        script: str,
+        voice_paths,
+        cfg_scale: float,
+        steps: int,
+        seed: int,
+        session_id: str,
+        use_voice_cloning: bool = True,
+    ):
+        """Generator yielding (streaming_chunk | None, complete_wav_path | None,
+        log_text) — streaming chunks while generating, then the complete take
+        (reference generate_podcast_streaming :352-530)."""
         from vibevoice_tpu.streamer import AudioStreamer
 
         self.stop_flags[session_id] = False
+        if int(seed) < 0:  # -1 = fresh random seed per run (reference label)
+            seed = int.from_bytes(os.urandom(4), "little")
+        if not use_voice_cloning:
+            voice_paths = None  # reference disable_voice_cloning checkbox
         proc_out = self.processor(
             text=script, voice_samples=[voice_paths] if voice_paths else None
         )
@@ -89,8 +118,15 @@ class VibeVoiceDemo:
             sde=self.sde,
             max_length=min(4096, self.cfg.decoder_config.max_position_embeddings),
         )
+        n_lines = len(proc_out.parsed_scripts[0]) if proc_out.parsed_scripts else 0
+        log = (
+            f"seed={seed}  cfg={cfg_scale}  steps={int(steps)}  "
+            f"voice_cloning={'on' if voice_paths else 'off'}  "
+            f"script_lines={n_lines}\n"
+        )
         streamer = AudioStreamer(batch_size=proc_out.input_ids.shape[0])
         result = {}
+        t_start = time.time()
 
         def run():
             result["out"] = self.inf.generate(
@@ -116,7 +152,9 @@ class VibeVoiceDemo:
         # first yield waits for min_buffer_sec of pending audio; afterwards
         # yield when >=min_buffer_sec is pending OR min_interval_sec elapsed
         pending = []
+        all_chunks = []
         pending_sec = 0.0
+        total_sec = 0.0
         yielded = False
         last_yield = time.time()
         for _, chunk in streamer:
@@ -124,7 +162,9 @@ class VibeVoiceDemo:
                 streamer.end()
                 break
             pending.append(chunk)
+            all_chunks.append(chunk)
             pending_sec += len(chunk) / SAMPLE_RATE
+            total_sec += len(chunk) / SAMPLE_RATE
             elapsed = time.time() - last_yield
             should = (not yielded and pending_sec >= self.min_buffer_sec) or (
                 yielded
@@ -132,17 +172,40 @@ class VibeVoiceDemo:
             )
             if should:
                 audio = np.concatenate(pending)
-                yield SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+                yield (
+                    (SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)),
+                    None,
+                    log + f"streaming… {total_sec:.1f} s generated",
+                )
                 pending, pending_sec, last_yield, yielded = [], 0.0, time.time(), True
         if pending:
             audio = np.concatenate(pending)
-            yield SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+            yield (
+                (SAMPLE_RATE, (np.clip(audio, -1, 1) * 32767).astype(np.int16)),
+                None,
+                log + f"streaming… {total_sec:.1f} s generated",
+            )
         # generation-thread timeout + force-end (reference :613-620)
         thread.join(timeout=10.0)
         if thread.is_alive():
             self.stop_flags[session_id] = True
             streamer.end()
             thread.join(timeout=10.0)
+        # complete take for the download widget (reference :490-526)
+        wall = time.time() - t_start
+        stopped = self.stop_flags.get(session_id, False)
+        if all_chunks:
+            complete = np.concatenate(all_chunks)
+            path = _write_complete_wav(complete)
+            rtf = (len(complete) / SAMPLE_RATE) / max(wall, 1e-9)
+            log += (
+                f"{'stopped by user' if stopped else 'done'}: "
+                f"{len(complete) / SAMPLE_RATE:.1f} s audio in {wall:.1f} s "
+                f"({rtf:.2f}x real-time)"
+            )
+            yield None, path, log
+        else:
+            yield None, None, log + ("stopped before any audio" if stopped else "no audio produced")
 
     def stop(self, session_id: str):
         self.stop_flags[session_id] = True
@@ -171,45 +234,108 @@ def load_example_scripts(examples_dir: str):
 def build_ui(demo: VibeVoiceDemo, voices_dir: str):
     import gradio as gr
 
-    voice_files = []
+    voice_files = {}
     if os.path.isdir(voices_dir):
-        voice_files = [
-            os.path.join(voices_dir, f)
-            for f in sorted(os.listdir(voices_dir))
-            if f.endswith(".wav")
-        ]
-    voice_names = [os.path.splitext(os.path.basename(v))[0] for v in voice_files]
+        for f in sorted(os.listdir(voices_dir)):
+            if f.endswith(".wav"):
+                voice_files[os.path.splitext(f)[0]] = os.path.join(voices_dir, f)
 
     with gr.Blocks(title="VibeVoice TPU") as ui:
         gr.Markdown("# VibeVoice TPU — multi-speaker long-form TTS")
+        voices_state = gr.State(dict(voice_files))
+        session = gr.State(lambda: os.urandom(8).hex())
+
         with gr.Row():
-            with gr.Column():
-                script = gr.Textbox(
-                    label="Script",
-                    lines=8,
-                    placeholder="Speaker 1: Hello!\nSpeaker 2: Hi there!",
-                )
+            with gr.Column(scale=1):
+                gr.Markdown("### Podcast Settings")
+                # speaker-count selector drives dropdown visibility
+                # (reference gradio_demo.py:715-740, 881-892)
+                num_speakers = gr.Slider(1, 4, value=2, step=1, label="Number of Speakers")
+                names = list(voice_files)
                 speakers = [
-                    gr.Dropdown(choices=voice_names, label=f"Speaker {i + 1} voice")
+                    gr.Dropdown(
+                        choices=names,
+                        value=names[i] if i < len(names) else None,
+                        label=f"Speaker {i + 1}",
+                        visible=(i < 2),
+                    )
                     for i in range(4)
                 ]
-                cfg_scale = gr.Slider(1.0, 3.0, value=1.3, step=0.05, label="CFG scale")
-                steps = gr.Slider(1, 50, value=demo.ddpm_steps, step=1, label="DDPM steps")
-                seed = gr.Number(value=42, label="Seed")
+                # custom voice-sample upload: cloned voices join the dropdowns
+                uploads = gr.File(
+                    label="Upload custom voices (.wav, 24 kHz preferred)",
+                    file_count="multiple",
+                    file_types=[".wav"],
+                )
+                with gr.Accordion("Generation Parameters", open=False):
+                    cfg_scale = gr.Slider(1.0, 12.0, value=1.3, step=0.05, label="CFG scale")
+                    steps = gr.Slider(1, 50, value=demo.ddpm_steps, step=1, label="Inference steps")
+                    seed = gr.Number(value=42, precision=0, label="Seed (-1 = random)")
+                    voice_cloning = gr.Checkbox(
+                        value=True,
+                        label="Voice cloning (condition on the speaker samples)",
+                    )
+            with gr.Column(scale=2):
+                script = gr.Textbox(
+                    label="Conversation Script",
+                    lines=10,
+                    placeholder="Speaker 1: Welcome to our podcast today!\nSpeaker 2: Thanks for having me…",
+                )
                 with gr.Row():
                     go = gr.Button("Generate", variant="primary")
                     stop = gr.Button("Stop")
-            with gr.Column():
-                audio_out = gr.Audio(label="Audio", streaming=True, autoplay=True)
+                # streaming + complete outputs (reference :846-868)
+                audio_out = gr.Audio(
+                    label="Streaming Audio (real-time)", streaming=True, autoplay=True
+                )
+                complete_out = gr.Audio(
+                    label="Complete Audio (download after generation)",
+                    type="filepath",
+                    streaming=False,
+                    autoplay=False,
+                    show_download_button=True,
+                    visible=False,
+                )
+                log_box = gr.Textbox(label="Generation Log", lines=4, interactive=False)
 
-        session = gr.State(lambda: os.urandom(8).hex())
+        def on_num_speakers(n):
+            return [gr.update(visible=(i < int(n))) for i in range(4)]
 
-        def on_go(script_text, *args):
-            *voices, cfgv, stepsv, seedv, sess = args
-            paths = [voice_files[voice_names.index(v)] for v in voices if v]
-            yield from demo.generate_streaming(script_text, paths or None, cfgv, stepsv, seedv, sess)
+        num_speakers.change(on_num_speakers, [num_speakers], speakers)
 
-        go.click(on_go, [script, *speakers, cfg_scale, steps, seed, session], audio_out)
+        def on_upload(files, voices):
+            voices = dict(voices or {})
+            for f in files or []:
+                path = getattr(f, "name", f)
+                voices[os.path.splitext(os.path.basename(path))[0]] = path
+            choices = list(voices)
+            return [voices] + [gr.update(choices=choices) for _ in range(4)]
+
+        uploads.change(on_upload, [uploads, voices_state], [voices_state, *speakers])
+
+        def on_go(script_text, n, s1, s2, s3, s4, cfgv, stepsv, seedv, clone, voices, sess):
+            chosen = [s1, s2, s3, s4][: int(n)]
+            paths = [voices[v] for v in chosen if v and v in voices]
+            for chunk, complete, log in demo.generate_streaming(
+                script_text, paths or None, cfgv, stepsv, seedv, sess,
+                use_voice_cloning=bool(clone),
+            ):
+                if complete is not None:
+                    yield None, gr.update(value=complete, visible=True), log
+                else:
+                    yield chunk, gr.update(), log
+
+        go.click(
+            # new run hides the previous complete take (reference :951-958)
+            lambda: (None, gr.update(value=None, visible=False), ""),
+            None,
+            [audio_out, complete_out, log_box],
+        ).then(
+            on_go,
+            [script, num_speakers, *speakers, cfg_scale, steps, seed,
+             voice_cloning, voices_state, session],
+            [audio_out, complete_out, log_box],
+        )
         stop.click(lambda sess: demo.stop(sess), [session], None)
 
         examples = load_example_scripts(os.path.join(os.path.dirname(__file__), "text_examples"))

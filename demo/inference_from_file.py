@@ -73,8 +73,10 @@ def main():
     ap.add_argument("--device_dtype", type=str, default="bfloat16")
     ap.add_argument("--frames_per_dispatch", type=int, default=8)
     ap.add_argument("--int8", action="store_true", help="weight-only int8 serving mode")
-    ap.add_argument("--kv_int8", action="store_true",
-                    help="int8 KV cache (halves cache memory; for long max_length)")
+    ap.add_argument("--kv_int8", action=argparse.BooleanOptionalAction, default=None,
+                    help="int8 KV cache (halves cache memory). Default: automatic — "
+                    "on at max_length >= 16K, off below (quantize-on-write costs "
+                    "~8%% at low fill)")
     ap.add_argument("--random_weights", action="store_true",
                     help="random-init the FULL-SIZE model (pipeline validation without a checkpoint)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")

@@ -119,7 +119,7 @@ def build_server(args):
         tokens=tokens,
         opts=inf.GenerateOptions(
             cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps,
-            max_length=args.max_len, kv_int8=getattr(args, "kv_int8", False),
+            max_length=args.max_len, kv_int8=getattr(args, "kv_int8", None),
         ),
         max_batch=args.max_batch,
         max_len=args.max_len,
@@ -323,8 +323,9 @@ def main():
     ap.add_argument("--no_pipeline", action="store_true",
                     help="deliver each dispatch's audio before issuing the "
                     "next (lowest latency; pipelining is +~50%% throughput)")
-    ap.add_argument("--kv_int8", action="store_true",
-                    help="int8 KV cache (halves cache HBM; use for long --max_len)")
+    ap.add_argument("--kv_int8", action=argparse.BooleanOptionalAction, default=None,
+                    help="int8 KV cache (halves cache HBM). Default: automatic — "
+                    "on at --max_len >= 16K, off below")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways (needs that many chips; the "
                     "7B bf16 @ 32K config needs tp>=2 on 16 GB parts)")

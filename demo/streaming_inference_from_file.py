@@ -36,7 +36,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max_len", type=int, default=2048)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    ap.add_argument("--kv_int8", action="store_true", help="int8 KV caches (halves cache HBM)")
+    ap.add_argument("--kv_int8", action=argparse.BooleanOptionalAction, default=None,
+                    help="int8 KV caches (halves cache HBM). Default: automatic — "
+                    "on at max_len >= 16K, off below (TTFA is better bf16 at low fill)")
     args = ap.parse_args()
 
     from vibevoice_tpu.utils.platform import honor_platform_request

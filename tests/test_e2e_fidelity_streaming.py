@@ -178,12 +178,20 @@ def _preset_from_ref(ref_prefill) -> st.VoicePreset:
 
 
 class _RandnPatch:
-    """Replays the per-frame init-noise bank through torch.randn (the only
-    draw site in the streaming generate: sample_speech_tokens, :727-751)."""
+    """Replays the per-frame noise bank through torch.randn — the init draw in
+    sample_speech_tokens (:727-751) and, under sde-dpmsolver++, the per-step
+    variance noise (randn_tensor -> torch.randn via the shim). Draw order per
+    frame: init, then sde_0..sde_{S-1}; every draw is (2, D) with only row 0
+    consumed (the CFG duplicate's trajectory is discarded)."""
 
-    def __init__(self, torch, bank):
+    def __init__(self, torch, bank, steps: int = 0):
         self.torch = torch
-        self.fifo = [np.repeat(bank["init"][e], 2, axis=0) for e in range(bank["init"].shape[0])]
+        self.fifo = []
+        for e in range(bank["init"].shape[0]):
+            self.fifo.append(np.repeat(bank["init"][e], 2, axis=0))
+            if "sde" in bank:
+                for s in range(steps):
+                    self.fifo.append(np.repeat(bank["sde"][e, s], 2, axis=0))
         self.real = torch.randn
 
     def __enter__(self):
@@ -244,6 +252,69 @@ def test_streaming_e2e_matches_reference(ref_model, params, ref_prefill):
     assert ref_wav is not None and our_wav is not None
     assert ref_wav.shape == our_wav.shape, (ref_wav.shape, our_wav.shape)
     assert len(ref_wav) % HOP == 0 and len(ref_wav) > 0
+    np.testing.assert_allclose(our_wav, ref_wav, rtol=5e-3, atol=5e-4)
+
+
+def test_streaming_e2e_sde_matches_reference(ref_model, params, ref_prefill):
+    """SDE variant (VERDICT r2 weak #5): the Gradio runtime mode re-instantiates
+    the scheduler as sde-dpmsolver++ (reference demo/gradio_demo.py:142-147);
+    the streaming windowed generate must match frame-for-frame under it, with
+    both the init latents AND the per-step SDE variance noise shared."""
+    import copy
+
+    import torch
+    from vibevoice.schedule.dpm_solver import DPMSolverMultistepScheduler
+
+    outs, prompt = ref_prefill
+    rng = np.random.RandomState(23)
+    text = rng.randint(8, 120, (1, 8))
+    bank = {
+        "init": rng.randn(MAX_FRAMES, 1, VAE_DIM).astype(np.float32),
+        "sde": rng.randn(MAX_FRAMES, STEPS, 1, VAE_DIM).astype(np.float32),
+    }
+
+    hc = ref_model.config.diffusion_head_config
+    orig_scheduler = ref_model.model.noise_scheduler
+    ref_model.model.noise_scheduler = DPMSolverMultistepScheduler(
+        num_train_timesteps=hc.ddpm_num_steps,
+        beta_schedule=hc.ddpm_beta_schedule,
+        prediction_type=hc.prediction_type,
+        algorithm_type="sde-dpmsolver++",
+    )
+    try:
+        p = prompt.shape[1]
+        ids = torch.zeros(1, p, dtype=torch.long)
+        with _RandnPatch(torch, bank, steps=STEPS), torch.no_grad():
+            ref_out = ref_model.generate(
+                input_ids=ids,
+                attention_mask=torch.ones_like(ids),
+                tts_lm_input_ids=ids.clone(),
+                tts_lm_attention_mask=torch.ones_like(ids),
+                tts_text_ids=torch.from_numpy(text),
+                all_prefilled_outputs=copy.deepcopy(outs),
+                tokenizer=_FakeTokenizer(),
+                cfg_scale=1.5,
+                show_progress_bar=False,
+            )
+    finally:
+        ref_model.model.noise_scheduler = orig_scheduler
+    ref_wav = ref_out.speech_outputs[0]
+    ref_wav = None if ref_wav is None else ref_wav.numpy().reshape(-1)
+
+    preset = _preset_from_ref(ref_prefill)
+    our_out = st.generate(
+        TINY,
+        params,
+        tts_text_ids=text,
+        preset=preset,
+        opts=inf.GenerateOptions(cfg_scale=1.5, ddpm_steps=STEPS, sde=True),
+        max_len=512,
+        noise_bank=bank,
+    )
+    our_wav = our_out.speech_outputs[0]
+
+    assert ref_wav is not None and our_wav is not None
+    assert ref_wav.shape == our_wav.shape, (ref_wav.shape, our_wav.shape)
     np.testing.assert_allclose(our_wav, ref_wav, rtol=5e-3, atol=5e-4)
 
 

@@ -134,7 +134,9 @@ def test_load_checkpoint_int8_host_quantized(tmp_path, ref_model):
     with open(ckpt / "preprocessor_config.json", "w") as f:
         json.dump({"speech_tok_compress_ratio": 8, "db_normalize": True}, f)
 
-    cfg, params, _ = load_checkpoint(str(ckpt), dtype="float32", int8=True)
+    cfg, params, _ = load_checkpoint(
+        str(ckpt), dtype="float32", int8=True, allow_fallback_tokenizer=True
+    )
     assert "lm_head_q" in params
     assert params["lm"]["layers"][0]["mlp"]["gate"].get("w8") is not None or (
         # tiny dims below the 512-tile threshold stay dense by design

@@ -154,3 +154,59 @@ def test_async_streamer():
     out0, out1 = asyncio.run(run())
     assert len(out0) == 2 and len(out1) == 1
     np.testing.assert_array_equal(out0[1], np.ones(4) * 3)
+
+
+def test_call_kwargs_surface(proc):
+    """Reference __call__ kwargs (vibevoice_processor.py:163-244): padding
+    strategies, truncation, return_tensors, return_attention_mask."""
+    import numpy as np
+    import pytest
+
+    texts = ["Speaker 1: short", "Speaker 1: a somewhat longer line of text here"]
+
+    # padding=False -> ragged python lists
+    out = proc(texts, padding=False, return_tensors=None)
+    assert isinstance(out.input_ids, list) and isinstance(out.input_ids[0], list)
+    assert len(out.input_ids[0]) != len(out.input_ids[1])
+    assert all(all(m for m in row) for row in out.attention_mask)
+
+    # ragged + tensors is an explicit error
+    with pytest.raises(ValueError, match="requires padding"):
+        proc(texts, padding=False, return_tensors="np")
+
+    # padding="max_length" pads to the requested length
+    out = proc(texts, padding="max_length", max_length=64)
+    assert out.input_ids.shape == (2, 64)
+
+    # truncation chops ids + speech mask together
+    full = proc(texts)
+    out = proc(texts, truncation=True, max_length=5)
+    assert out.input_ids.shape == (2, 5)
+    np.testing.assert_array_equal(out.input_ids, full.input_ids[:, :5])
+
+    # return_tensors variants
+    out = proc(texts, return_tensors="jax")
+    import jax.numpy as jnp
+
+    assert isinstance(out.input_ids, jnp.ndarray)
+    out = proc(texts, return_tensors="pt")
+    import torch
+
+    assert isinstance(out.input_ids, torch.Tensor)
+    out = proc(texts, return_tensors=None)
+    assert isinstance(out.input_ids, list)
+
+    # no attention mask on request
+    out = proc(texts, return_attention_mask=False)
+    assert out.attention_mask is None
+
+    # unknown kwargs are loud, not silently ignored (old behavior)
+    with pytest.raises(TypeError, match="unsupported processor kwargs"):
+        proc(texts, some_unknown_kwarg=1)
+
+
+def test_decode_passthroughs(proc):
+    ids = proc.tokenizer.encode("hello world")
+    assert isinstance(proc.decode(ids), str)
+    outs = proc.batch_decode([ids, ids])
+    assert len(outs) == 2 and outs[0] == outs[1]

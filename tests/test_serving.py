@@ -76,13 +76,11 @@ def test_prefill_does_not_stall_active_streams(engine, monkeypatch):
     # long prompt -> long generation for the active stream (random tiny
     # weights emit speech_start until the per-request max-step cap)
     h1 = engine.submit(_make_request(20, n=40))
-    deadline = time.time() + 60
-    while not any(s is h1 for s in engine.slots):
-        assert time.time() < deadline, "stream 1 never started"
-        time.sleep(0.01)
+    assert engine.wait_for_state(
+        lambda: any(s is h1 for s in engine.slots), 60
+    ), "stream 1 never started"
     slot = engine.slots.index(h1)
-    while engine.slot_steps[slot] < 2:
-        time.sleep(0.01)
+    assert engine.wait_for_state(lambda: engine.slot_steps[slot] >= 2, 60)
 
     monkeypatch.setattr(inf, "prefill_fn", slow_prefill)
     h2 = engine.submit(_make_request(21, n=8))
@@ -307,13 +305,8 @@ def test_request_cancellation():
         # long-running active stream (forced diffusion, large cap)
         h1 = eng.submit(_make_request(50, n=30))
         h2 = eng.submit(_make_request(51, n=30))
-        deadline = time.time() + 60
-        while not any(s is h1 for s in eng.slots):
-            assert time.time() < deadline
-            time.sleep(0.01)
-        while len(h1._audio) == 0:
-            assert time.time() < deadline
-            time.sleep(0.01)
+        assert eng.wait_for_state(lambda: any(s is h1 for s in eng.slots), 120)
+        assert eng.wait_for_state(lambda: len(h1._audio) > 0, 120)
         h1.cancel()
         a1 = h1.result(timeout=120)
         assert len(a1) > 0  # audio produced before the cancel is kept
@@ -339,26 +332,27 @@ def test_cancel_queued_while_slots_full():
     busy with long generations) must still finish promptly on cancel() —
     _admit drains the ready queue even with no free slot (a gated check used
     to leave the waiter blocked and the bounded ready queue occupied)."""
-    import time
     import jax
 
     params = vv.init(jax.random.PRNGKey(0), CFG)
     # long cap so both slots stay busy for the whole staged-cancel window
     eng = _forced_diffusion_engine(params, 2, max_len=4096)
     try:
-        # occupy both slots with effectively-unbounded generations
-        h1 = eng.submit(_make_request(60, n=30))
-        h2 = eng.submit(_make_request(61, n=30))
-        deadline = time.time() + 300
-        while not (any(s is h1 for s in eng.slots) and any(s is h2 for s in eng.slots)):
-            assert time.time() < deadline
-            time.sleep(0.01)
+        # occupy both slots with effectively-unbounded generations: ~3900
+        # frames of cap, so neither can hit it during the staging window
+        # even on a heavily loaded machine (the round-2 flake: the old 60-
+        # frame cap let a slot finish mid-wait)
+        r1, r2 = _make_request(60, n=30), _make_request(61, n=30)
+        r1.max_length_times = r2.max_length_times = 130.0
+        h1 = eng.submit(r1)
+        h2 = eng.submit(r2)
+        assert eng.wait_for_state(
+            lambda: any(s is h1 for s in eng.slots) and any(s is h2 for s in eng.slots), 300
+        )
         # third request: wait until its prefill is staged (ready queue or the
         # decode thread's local staging list), with both slots still busy
         h3 = eng.submit(_make_request(62, n=30))
-        while eng.ready.qsize() == 0 and not eng._ready_local:
-            assert time.time() < deadline
-            time.sleep(0.01)
+        assert eng.wait_for_state(lambda: eng.ready.qsize() > 0 or eng._ready_local, 300)
         assert all(s is not None for s in eng.slots)  # still no free slot
         h3.cancel()
         a3 = h3.result(timeout=30)  # must NOT block until a slot frees

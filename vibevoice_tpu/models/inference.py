@@ -75,7 +75,27 @@ class GenerateOptions:
     sde: bool = False
     frames_per_dispatch: int = 1  # >1 scans K frames per device dispatch
     prefill_chunk: int = 2048  # prompts longer than this prefill in chunks
-    kv_int8: bool = False  # int8 KV cache with per-row scales (qwen2.make_cache)
+    # int8 KV cache with per-row scales (qwen2.make_cache). None = automatic:
+    # on when the cache is long-context (>= KV_INT8_AUTO_LEN slots — where
+    # halved KV bytes dominate; 7B@32K only fits one 16 GB chip this way),
+    # off at short contexts (quantize-on-write costs ~8% at low fill).
+    # resolve_kv_int8() applies the policy once max_length is known.
+    kv_int8: Optional[bool] = None
+
+
+KV_INT8_AUTO_LEN = 16384  # kv_int8=None turns int8 KV on at/above this cache length
+
+
+def resolve_kv_int8(opts: GenerateOptions, max_length: int) -> GenerateOptions:
+    """Apply the automatic int8-KV policy (GenerateOptions.kv_int8=None):
+    quantize the cache only when it is long enough that halved KV bytes beat
+    the ~8% quantize-on-write cost (measured ledger: neutral-to-negative at
+    4K, required for 7B@32K on one 16 GB chip). Explicit True/False wins."""
+    import dataclasses
+
+    if opts.kv_int8 is not None:
+        return opts
+    return dataclasses.replace(opts, kv_int8=max_length >= KV_INT8_AUTO_LEN)
 
 
 class DecodeCarry(NamedTuple):
@@ -578,6 +598,7 @@ def generate(
             f"max_length={max_length} must exceed the prompt length ({t0} tokens); "
             "raise GenerateOptions.max_length or shorten the prompt"
         )
+    opts = resolve_kv_int8(opts, max_length)
     max_steps = int(min(max_length - t0, opts.max_length_times * t0))
     max_step_per_sample = np.minimum(
         max_length - lengths, (opts.max_length_times * lengths).astype(np.int64)

@@ -413,6 +413,9 @@ def generate(
     from .inference import GenerateOptions, GenerationOutput
 
     opts = opts or GenerateOptions(cfg_scale=1.5, ddpm_steps=5)
+    from .inference import resolve_kv_int8
+
+    opts = resolve_kv_int8(opts, max_len)
     inject = noise_bank is not None
     if window_fns is None:
         window_fns = make_window_fns(cfg, opts, inject)

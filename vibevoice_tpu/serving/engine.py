@@ -227,6 +227,9 @@ class ServingEngine:
             params = jax.device_put(params, pmesh.model_param_shardings(params, mesh))
         self.params = params
         self.tokens = tokens
+        # kv_int8=None resolves to the automatic long-context policy against
+        # THIS engine's cache length (opts.max_length is per-request cap only)
+        opts = inf.resolve_kv_int8(opts, max_len)
         self.opts = opts
         self.max_batch = max_batch
         self.max_len = max_len
@@ -313,6 +316,11 @@ class ServingEngine:
         self._hop = cfg.acoustic_tokenizer_config.hop_length
         self._stop = threading.Event()
         self._draining = threading.Event()
+        # Event-driven state observation: notified after every externally
+        # visible state transition (submit, prefill staged, slot assigned or
+        # freed, audio pushed, drain). Tests and monitors use wait_for_state
+        # instead of sleep/poll loops — deterministic on a loaded machine.
+        self.state_cv = threading.Condition()
         # Graceful-drain idle detection rides Queue.unfinished_tasks: put()
         # increments, and the workers call task_done() only once an item is
         # fully settled (finished, staged in _ready_local, or in a slot) — so
@@ -327,6 +335,17 @@ class ServingEngine:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+
+    def _notify_state(self) -> None:
+        with self.state_cv:
+            self.state_cv.notify_all()
+
+    def wait_for_state(self, predicate, timeout: float = 60.0) -> bool:
+        """Block until `predicate()` (evaluated under the state lock) is true,
+        re-checking on every engine state transition. Returns False on
+        timeout. The event-driven replacement for polling engine internals."""
+        with self.state_cv:
+            return self.state_cv.wait_for(predicate, timeout)
 
     def submit(self, request: Request) -> RequestHandle:
         handle = RequestHandle(request)
@@ -343,6 +362,7 @@ class ServingEngine:
             )
             return handle
         self.pending.put(handle)
+        self._notify_state()
         if self._stop.is_set():
             # raced with shutdown: _drain may already have swept `pending`;
             # fail whatever is still queued (a duplicate _finish only adds a
@@ -512,6 +532,7 @@ class ServingEngine:
             try:
                 self.ready.put((handle, single, max_steps), timeout=0.1)
                 placed = True
+                self._notify_state()
                 break
             except queue.Full:
                 continue
@@ -593,6 +614,7 @@ class ServingEngine:
             else:
                 keep.append((handle, single, max_steps))
         self._ready_local = keep
+        self._notify_state()
 
     PROMPT_BUCKET = 64  # right-pad prompts to a bucket so prefill_fn compiles
     # once per bucket instead of once per length
@@ -690,6 +712,7 @@ class ServingEngine:
                 self.pending.task_done()
             except queue.Empty:
                 break
+        self._notify_state()
 
     def _loop_inner(self):
         # One dispatch kept in flight: dispatch N+1 is issued BEFORE N's
@@ -721,6 +744,7 @@ class ServingEngine:
                     if fin[f, i]:
                         h._finish()
                         self.slots[i] = None
+            self._notify_state()
 
         while not self._stop.is_set():
             self._admit()

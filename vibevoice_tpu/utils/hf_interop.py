@@ -28,7 +28,13 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load all weight files in a checkpoint dir into one flat numpy dict."""
     sd: Dict[str, np.ndarray] = {}
     files = sorted(os.listdir(path))
-    st_files = [f for f in files if f.endswith(".safetensors")]
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        # HF sharded layout: the index's weight_map names the shard files
+        with open(index) as f:
+            st_files = sorted(set(json.load(f)["weight_map"].values()))
+    else:
+        st_files = [f for f in files if f.endswith(".safetensors")]
     bin_files = [f for f in files if f.endswith(".bin") and "pytorch_model" in f]
     if st_files:
         from safetensors.numpy import load_file
@@ -121,7 +127,10 @@ def convert_streaming_model(sd: Dict, cfg: VibeVoiceStreamingConfig) -> Dict:
 
 
 def load_checkpoint(
-    path: str, dtype: str = "bfloat16", int8: bool = False
+    path: str,
+    dtype: str = "bfloat16",
+    int8: bool = False,
+    allow_fallback_tokenizer: bool = False,
 ) -> Tuple[VibeVoiceConfig, Dict, object]:
     """Load (config, params, processor) from an HF-style checkpoint dir.
 
@@ -146,18 +155,24 @@ def load_checkpoint(
     else:
         params = convert_full_model(sd, cfg)
         params = _to_dtype(params, jnp.dtype(dtype))
-    processor = VibeVoiceProcessor.from_pretrained(path)
+    processor = VibeVoiceProcessor.from_pretrained(
+        path, allow_fallback_tokenizer=allow_fallback_tokenizer
+    )
     return cfg, params, processor
 
 
-def load_streaming_checkpoint(path: str, dtype: str = "bfloat16"):
+def load_streaming_checkpoint(
+    path: str, dtype: str = "bfloat16", allow_fallback_tokenizer: bool = False
+):
     from ..processor.streaming_processor import VibeVoiceStreamingProcessor
 
     cfg = VibeVoiceStreamingConfig.from_json_file(os.path.join(path, "config.json"))
     sd = _load_state_dict(path)
     params = convert_streaming_model(sd, cfg)
     params = _to_dtype(params, jnp.dtype(dtype))
-    processor = VibeVoiceStreamingProcessor.from_pretrained(path)
+    processor = VibeVoiceStreamingProcessor.from_pretrained(
+        path, allow_fallback_tokenizer=allow_fallback_tokenizer
+    )
     return cfg, params, processor
 
 
