@@ -21,6 +21,12 @@ Env overrides:
   BENCH_PROMPT=N   prompt tokens per request   (default 64; generation is
                    held at ~128 frames regardless, so larger prompts stress
                    the prefill thread, not the decode volume)
+  BENCH_FRAMES=N   frames generated per request (default 128 ~ 17 s of
+                   audio; larger values amortize slot-turnover idle — a
+                   freed slot sits empty ~1.5 dispatch windows because the
+                   pipelined loop learns of a finish one fetch late — so
+                   long streams expose the steady-state engine efficiency,
+                   short ones the admission overhead)
   BENCH_NO_PIPELINE=1  sequential fetch (latency mode: with BENCH_K=1 and
                    BENCH_REQS=1 this measures single-stream serving TTFA)
 
@@ -94,7 +100,7 @@ def main():
     eng.step_fn = lambda p, c, key, ext: real(p, c, key, ext, {"forced": forced, "init": init})
 
     prompt = int(os.environ.get("BENCH_PROMPT", "64"))
-    frames = 128  # ~17 s of audio per request at 7.5 Hz
+    frames = int(os.environ.get("BENCH_FRAMES", "128"))  # ~17 s of audio at 7.5 Hz
 
     def make_request(seed):
         ids = np.random.RandomState(seed).randint(10, 1000, (1, prompt)).astype(np.int64)
@@ -145,6 +151,8 @@ def main():
     suffix = "" if use_int8 else "_bf16"
     if not pipeline:
         suffix += "_nopipe"
+    if frames != 128:
+        suffix += f"_f{frames}"
     print(
         json.dumps(
             {

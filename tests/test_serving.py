@@ -432,6 +432,39 @@ def test_decode_loop_crash_drains_all_requests():
         eng.shutdown()
 
 
+def test_retiring_handle_fails_on_decode_crash():
+    """A slot freed at DISPATCH time (predicted step-cap finish) leaves its
+    handle in _retiring until the final in-flight window is fetched. If the
+    device faults in that gap, _drain must fail the retiring handle too —
+    otherwise its consumer blocks forever (the final window is lost with the
+    fault; partial audio stays available)."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = _forced_diffusion_engine(params, 2)
+    try:
+        real = eng.step_fn
+
+        def exploding(p, c, key, ext):
+            # fires on the first dispatch issued while a predicted-finish
+            # handle awaits its final window fetch (decode-thread local state,
+            # no race) — deterministically the dispatch AFTER h1's cap window
+            if eng._retiring:
+                raise RuntimeError("injected device fault")
+            return real(p, c, key, ext)
+
+        eng.step_fn = exploding
+        h1 = eng.submit(_make_request(80, n=8))  # cap 16 frames: retires first
+        h2 = eng.submit(_make_request(81, n=30))  # cap 60: keeps dispatching
+        for h in (h1, h2):
+            with pytest.raises(RuntimeError, match="injected device fault"):
+                h.result(timeout=120)
+        assert eng.stats().failed == 2
+        assert not eng._retiring
+    finally:
+        eng.shutdown()
+
+
 def test_engine_tp_sharded():
     """ServingEngine(mesh=tp-mesh): the engine serves with TP-sharded params
     and a KV cache sharded over KV heads — the multi-chip (7B bf16 @ 32K)

@@ -293,6 +293,10 @@ class ServingEngine:
         self.slots: List[Optional[RequestHandle]] = [None] * b
         self.slot_steps = np.zeros(b, np.int64)
         self.slot_max_steps = np.zeros(b, np.int64)
+        # Handles freed from their slot at DISPATCH time (predicted step-cap/
+        # cancel finish) whose final window is still in flight: _drain must
+        # fail these too on a device fault, or their consumers hang.
+        self._retiring: List = []
         self.pending: "queue.Queue[RequestHandle]" = queue.Queue()
         # prefilled-but-not-yet-spliced requests; bounded so the prefill
         # worker can't pile up full-size batch-1 KV caches in HBM
@@ -697,6 +701,10 @@ class ServingEngine:
             if h is not None:
                 h._finish(leftover)
                 self.slots[i] = None
+        for h in self._retiring:
+            if not h._done.is_set():
+                h._finish(leftover)
+        self._retiring = []
         for item in self._ready_local:
             item[0]._finish(leftover)
         self._ready_local = []
@@ -720,9 +728,11 @@ class ServingEngine:
         # (remote-transport) fetch + streamer delivery of the previous window.
         # Step counts advance at DISPATCH time (each dispatched frame advances
         # every active slot unless it finished in-device, where the step is
-        # masked anyway); finish/free bookkeeping happens at fetch time, one
-        # dispatch later — a finished slot is re-admitted at most K frames
-        # late, and the extra masked dispatch for it is harmless.
+        # masked anyway). Finish bookkeeping is two-tier: step-cap and cancel
+        # finishes are HOST-PREDICTABLE (the ext row forces them), so those
+        # slots are freed at dispatch time and can host a new request on the
+        # very next window; data-dependent EOS finishes are discovered at
+        # fetch, one pipelined dispatch late (one extra masked window).
         inflight = None  # (out, snapshot of self.slots at dispatch)
 
         def process(out, snap):
@@ -735,15 +745,23 @@ class ServingEngine:
                 amask, fin, audio = amask[None], fin[None], audio[None]
             for f in range(amask.shape[0]):
                 for i, h in enumerate(snap):
-                    # skip freed/re-admitted slots: this output predates them
-                    if h is None or self.slots[i] is not h:
+                    if h is None:
                         continue
+                    # Deliver by the DISPATCH-TIME snapshot: the output row
+                    # was computed from the carry as-of dispatch, so it
+                    # belongs to snap[i] even if the slot has since been
+                    # freed (predicted step-cap finish) and re-admitted.
+                    # Post-finish frames are masked in-device (audio_mask
+                    # &= ~finished), so a stale window never pushes audio.
                     if amask[f, i]:
                         h._push(audio[f, i, :, 0])
                         self._frames_emitted += 1
-                    if fin[f, i]:
+                    if fin[f, i] and not h._done.is_set():
                         h._finish()
+                    if fin[f, i] and self.slots[i] is h:
                         self.slots[i] = None
+            if self._retiring:
+                self._retiring = [h for h in self._retiring if not h._done.is_set()]
             self._notify_state()
 
         while not self._stop.is_set():
@@ -778,14 +796,39 @@ class ServingEngine:
             else:
                 ext = (self.slot_steps >= self.slot_max_steps) | cancelled
             self.carry, out = self.step_fn(self.params, self.carry, sk, jnp.asarray(ext))
+            # The output window belongs to the handles active AT DISPATCH —
+            # snapshot before the predicted-finish loop below frees any slot,
+            # or a retired handle's final window (and its _finish) is lost.
+            snap = list(self.slots)
             for i in active:
                 self.slot_steps[i] += k
+                # Predicted finish: the ext row forced this slot's final frame
+                # inside the window just dispatched (step cap or cancel), so
+                # the device outcome is already known — free the slot NOW so
+                # _admit can splice a waiting request before the next
+                # dispatch. Without this a freed slot sat idle ~1.5 windows
+                # (finish learned at fetch, one pipelined dispatch late).
+                # Final-window audio still reaches the handle: process()
+                # delivers by dispatch-time snapshot. EOS finishes are
+                # data-dependent and still discovered at fetch.
+                # (ext was True at frame f iff steps_before+f >= max; the
+                # window contains a forced frame iff steps_after-1 >= max —
+                # `>= max` alone would free one window early when the cap
+                # lands exactly on a window boundary, orphaning the handle.)
+                # `cancelled[i]` is the value ext was BUILT from — re-reading
+                # the event here would race a cancel() landing after dispatch.
+                h = self.slots[i]
+                if h is not None and (
+                    cancelled[i] or self.slot_steps[i] - 1 >= self.slot_max_steps[i]
+                ):
+                    self._retiring.append(h)
+                    self.slots[i] = None
             if self.pipeline:
-                prev, inflight = inflight, (out, list(self.slots))
+                prev, inflight = inflight, (out, snap)
                 if prev is not None:
                     process(*prev)
             else:
-                process(out, list(self.slots))
+                process(out, snap)
 
         if inflight is not None:  # deliver the last window before draining
             process(*inflight)
