@@ -62,9 +62,9 @@ class VibeVoiceDemo:
         self.stop_flags = {}
 
         if model_path:
-            from vibevoice_tpu.utils.hf_interop import load_checkpoint
+            from vibevoice_tpu.utils.hf_interop import load_pretrained
 
-            self.cfg, self.params, self.processor = load_checkpoint(model_path)
+            self.cfg, self.params, self.processor = load_pretrained(model_path)
             tk = self.processor.tokenizer
             self.tokens = inf.SpecialTokens(
                 speech_start=tk.speech_start_id,

@@ -102,13 +102,20 @@ def main():
         script = "Speaker 1: Hello, this is a smoke test of the VibeVoice TPU framework.\nSpeaker 2: And this is the second speaker replying."
 
     if args.model_path:
-        from vibevoice_tpu.utils.hf_interop import load_checkpoint
+        from vibevoice_tpu.utils.hf_interop import load_pretrained
 
         # int8 checkpoints quantize on the HOST before device transfer (7B's
-        # bf16 LM cannot coexist with its int8 copy on a 16 GB chip)
-        cfg, params, processor = load_checkpoint(
+        # bf16 LM cannot coexist with its int8 copy on a 16 GB chip);
+        # load_pretrained routes by config.json model_type
+        loaded = load_pretrained(
             args.model_path, dtype=args.device_dtype, int8=args.int8 and not args.checkpoint_path
         )
+        if loaded.model_type != "vibevoice":
+            raise SystemExit(
+                f"{args.model_path} is a {loaded.model_type} checkpoint; use "
+                "demo/streaming_inference_from_file.py for streaming models"
+            )
+        cfg, params, processor = loaded
         if args.checkpoint_path:
             from vibevoice_tpu.finetune.lora import load_lora_assets
 

@@ -81,9 +81,9 @@ def build_server(args):
     enable_cache()
 
     if args.model_path:
-        from vibevoice_tpu.utils.hf_interop import load_checkpoint
+        from vibevoice_tpu.utils.hf_interop import load_pretrained
 
-        cfg, params, processor = load_checkpoint(args.model_path)
+        cfg, params, processor = load_pretrained(args.model_path)
         tk = processor.tokenizer
         tokens = inf.SpecialTokens(
             speech_start=tk.speech_start_id,

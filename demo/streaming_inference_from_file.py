@@ -55,9 +55,15 @@ def main():
     from vibevoice_tpu.streamer import AudioStreamer
 
     if args.model_path:
-        from vibevoice_tpu.utils.hf_interop import load_streaming_checkpoint
+        from vibevoice_tpu.utils.hf_interop import load_pretrained
 
-        cfg, params, processor = load_streaming_checkpoint(args.model_path)
+        loaded = load_pretrained(args.model_path)
+        if loaded.model_type != "vibevoice_streaming":
+            raise SystemExit(
+                f"{args.model_path} is a {loaded.model_type} checkpoint; use "
+                "demo/inference_from_file.py for multi-speaker models"
+            )
+        cfg, params, processor = loaded
         sr = 24_000
     else:
         print("No --model_path: tiny random-weight smoke model")

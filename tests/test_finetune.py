@@ -351,3 +351,65 @@ def test_head_position_budget_exact(params):
         CFG, params, batch, key, TrainOptions(head_position_budget=10_000)
     )
     np.testing.assert_allclose(float(out_a.loss), float(out_d.loss), rtol=1e-6)
+
+
+def test_merge_with_connector_and_full_head_overrides(params, tmp_path):
+    """VERDICT round-3 item 5: train-with-connectors fixture -> merge -> all
+    trained tensors verified present in the merged checkpoint (reference
+    merge_vibevoice_models.py:89-150 override merge, :171-254 verification).
+    Trains 2 real LoRA steps with train_connectors + full_diffusion_head so
+    extras genuinely move, saves lora/ assets, runs the merger, and checks
+    the output checkpoint carries the trained connectors/head EXACTLY."""
+    from vibevoice_tpu.finetune.lora import save_lora_assets
+    from vibevoice_tpu.finetune.train_step import (
+        init_train_state, make_lora_train_step, make_optimizer,
+    )
+    from vibevoice_tpu.scripts.merge_vibevoice_models import run_merge
+    from vibevoice_tpu.utils.hf_interop import load_native, save_native
+
+    lcfg = LoraConfig(r=4, alpha=8, train_connectors=True, full_diffusion_head=True)
+    lora = init_lora(jax.random.PRNGKey(7), params, lcfg)
+    assert "diffusion_head_layers" not in lora  # full-rank head, no adapters
+    assert set(lora["extras"]) == {"acoustic_connector", "semantic_connector",
+                                   "diffusion_head"}
+
+    optimizer = make_optimizer(warmup_steps=1, learning_rate=1e-3)
+    step = jax.jit(make_lora_train_step(CFG, optimizer, lcfg))
+    state = init_train_state(lora, optimizer)
+    batch = make_batch()
+    state, _ = step(state, params, batch, jax.random.PRNGKey(8))
+    state, _ = step(state, params, batch, jax.random.PRNGKey(9))  # lr > 0 now
+
+    trained = state.params
+    # the dense overrides trained alongside the adapters
+    leaves_t = jax.tree_util.tree_leaves(trained["extras"]["acoustic_connector"])
+    leaves_b = jax.tree_util.tree_leaves(params["acoustic_connector"])
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(leaves_t, leaves_b)
+    ), "connector override did not train"
+
+    base_dir, ckpt_dir, out_dir = tmp_path / "base", tmp_path / "ckpt", tmp_path / "merged"
+    save_native(str(base_dir), CFG, params)
+    save_lora_assets(str(ckpt_dir / "lora"), trained, lcfg)
+    import os
+    assert os.path.exists(ckpt_dir / "lora" / "extras.pkl")
+
+    report = run_merge(str(base_dir), str(ckpt_dir), str(out_dir))
+    assert report["lm_changed"] > 0
+    assert sorted(report["overridden"]) == [
+        "acoustic_connector", "diffusion_head", "semantic_connector"
+    ]
+
+    _, merged = load_native(str(out_dir))
+    for key in ("acoustic_connector", "semantic_connector", "diffusion_head"):
+        for got, want in zip(
+            jax.tree_util.tree_leaves(merged[key]),
+            jax.tree_util.tree_leaves(trained["extras"][key]),
+        ):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # adapted LM weights are base + delta, not base
+    assert np.abs(
+        np.asarray(merged["lm"]["layers"][0]["attn"]["q"]["w"])
+        - np.asarray(params["lm"]["layers"][0]["attn"]["q"]["w"])
+    ).max() > 0

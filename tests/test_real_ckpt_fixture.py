@@ -359,3 +359,64 @@ def test_non_checkpoint_dir_stays_quiet(tmp_path):
         json.dump({"speech_tok_compress_ratio": 8}, f)
     proc = VibeVoiceProcessor.from_pretrained(str(d))
     assert proc.speech_tok_compress_ratio == 8
+
+
+def test_load_pretrained_routes_by_model_type(tmp_path):
+    """VERDICT r3 item 7: ONE entry point loads any variant — HF-style or
+    native dirs, multi-speaker or streaming — routed by config.json's
+    model_type (reference Auto-class analog, configuration_vibevoice.py:14-165)."""
+    from vibevoice_tpu.models import streaming as st
+    from vibevoice_tpu.utils.hf_interop import (
+        load_pretrained,
+        read_model_type,
+        save_native,
+    )
+
+    # HF-style multi-speaker fixture (config.json has NO model_type field ->
+    # structural fallback must classify it as the full model)
+    ref = _ref_model(tie=True)
+    ckpt = tmp_path / "full_hf"
+    _write_hf_checkpoint(ckpt, ref, _tiny_cfg(tie=True))
+    _write_real_tokenizer(ckpt)
+    assert read_model_type(str(ckpt)) == "vibevoice"
+    loaded = load_pretrained(str(ckpt), dtype="float32")
+    assert loaded.model_type == "vibevoice"
+    cfg, params, proc = loaded  # unpacks like the legacy 3-tuple loaders
+    assert "lm" in params and proc is not None
+
+    # native round-trip: save_native writes model_type, load_pretrained
+    # routes back through the native path
+    nat = tmp_path / "full_native"
+    save_native(str(nat), cfg, params)
+    assert read_model_type(str(nat)) == "vibevoice"
+    loaded2 = load_pretrained(str(nat), dtype="float32", allow_fallback_tokenizer=True)
+    assert loaded2.model_type == "vibevoice"
+    np.testing.assert_array_equal(
+        np.asarray(loaded2.params["lm"]["layers"][0]["attn"]["q"]["w"]),
+        np.asarray(params["lm"]["layers"][0]["attn"]["q"]["w"]),
+    )
+
+    # streaming native checkpoint routes to the streaming family
+    scfg = C.VibeVoiceStreamingConfig(
+        acoustic_tokenizer_config=C.AcousticTokenizerConfig(
+            vae_dim=8, encoder_n_filters=4, encoder_ratios=(4, 2), encoder_depths=(1, 1, 1),
+            decoder_n_filters=4,
+        ),
+        decoder_config=C.Qwen2Config(
+            vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=512,
+            rope_theta=10_000.0,
+        ),
+        diffusion_head_config=C.DiffusionHeadConfig(hidden_size=32, head_layers=2, latent_size=8),
+        tts_backbone_num_hidden_layers=2,
+    )
+    sparams = st.init(jax.random.PRNGKey(0), scfg)
+    snat = tmp_path / "streaming_native"
+    save_native(str(snat), scfg, sparams)
+    assert read_model_type(str(snat)) == "vibevoice_streaming"
+    sloaded = load_pretrained(str(snat), dtype="float32", allow_fallback_tokenizer=True)
+    assert sloaded.model_type == "vibevoice_streaming"
+    assert len(sloaded.params["tts_language_model"]["layers"]) == 2
+    from vibevoice_tpu.processor.streaming_processor import VibeVoiceStreamingProcessor
+
+    assert isinstance(sloaded.processor, VibeVoiceStreamingProcessor)

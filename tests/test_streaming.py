@@ -192,3 +192,62 @@ def test_generate_stops_before_cache_capacity(params, preset):
         audio = out.speech_outputs[0]
         n_audio = 0 if audio is None else len(audio)
         assert n_audio <= (budget // 11) * 6 * HOP
+
+
+def test_streaming_processor_surface(tmp_path):
+    """Reference public-API parity (vibevoice_streaming_processor.py:135-421):
+    save_pretrained round-trip, prepare_speech_inputs padding + masks across
+    np/jax/pt, decode/batch_decode passthroughs, save_audio, model_input_names,
+    and the intentionally-raising __call__."""
+    tokenizer = FallbackTextTokenizer(vocab_size=256)
+    proc = VibeVoiceStreamingProcessor(tokenizer)
+
+    # __call__ raises by design (reference :169-178)
+    with pytest.raises(NotImplementedError):
+        proc("some text")
+
+    # save_pretrained -> preprocessor_config.json -> from_pretrained round-trip
+    d = str(tmp_path / "proc")
+    proc.save_pretrained(d)
+    import json, os
+    with open(os.path.join(d, "preprocessor_config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["processor_class"] == "VibeVoiceStreamingProcessor"
+    assert cfg["speech_tok_compress_ratio"] == 3200
+    back = VibeVoiceStreamingProcessor.from_pretrained(d, allow_fallback_tokenizer=True)
+    assert back.speech_tok_compress_ratio == 3200
+    assert back.db_normalize is True
+
+    # prepare_speech_inputs: ragged batch -> right-padded + frame masks
+    rng = np.random.RandomState(0)
+    wavs = [rng.randn(6400).astype(np.float32), rng.randn(3200).astype(np.float32)]
+    out = proc.prepare_speech_inputs(wavs)
+    assert out["padded_speeches"].shape == (2, 6400)
+    assert out["speech_masks"].shape == (2, 2)
+    np.testing.assert_array_equal(out["speech_masks"], [[True, True], [True, False]])
+    np.testing.assert_array_equal(out["padded_speeches"][1, 3200:], 0.0)
+    jx = proc.prepare_speech_inputs(wavs, return_tensors="jax")
+    assert "jax" in type(jx["padded_speeches"]).__module__
+    import torch
+    pt = proc.prepare_speech_inputs(wavs, return_tensors="pt")
+    assert isinstance(pt["padded_speeches"], torch.Tensor)
+    assert pt["speech_masks"].dtype == torch.bool
+    empty = proc.prepare_speech_inputs([])
+    assert empty == {"padded_speeches": None, "speech_masks": None}
+
+    # decode/batch_decode passthrough
+    ids = tokenizer.encode("hello world")
+    assert proc.decode(ids) == tokenizer.decode(ids)
+    assert proc.batch_decode([ids, ids]) == [tokenizer.decode(ids)] * 2
+
+    # save_audio delegates (single + batch-dir + normalize)
+    wav_path = proc.save_audio(np.zeros(2400, np.float32), str(tmp_path / "a.wav"))
+    assert os.path.exists(wav_path)
+    paths = proc.save_audio(
+        rng.randn(2, 2400).astype(np.float32) * 0.01,
+        str(tmp_path / "batch"), normalize=True,
+    )
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    names = proc.model_input_names
+    assert "speech_inputs" in names and "speech_input_mask" in names

@@ -27,6 +27,14 @@ class LoraConfig:
     target_modules: Tuple[str, ...] = ("q", "k", "v", "o", "gate", "up", "down")
     train_diffusion_head: bool = True
     dropout: float = 0.0  # reserved; reference defaults to 0.05 but we train full-precision
+    # Dense component overrides trained ALONGSIDE the adapters (the reference's
+    # --train_connectors with LoRA, saved as connector pytorch_model.bin's in
+    # lora/, reference train_vibevoice.py:905-925):
+    train_connectors: bool = False
+    # Full-rank diffusion-head training with a LoRA'd LM (the reference's
+    # diffusion_head_full.bin fallback, lora_loading.py:71-109). Mutually
+    # exclusive with head ADAPTERS: when set, no head LoRA pairs are created.
+    full_diffusion_head: bool = False
 
     @property
     def scaling(self) -> float:
@@ -69,7 +77,7 @@ def init_lora(key, params: Dict, cfg: LoraConfig) -> Dict:
             if name in cfg.target_modules:
                 entry[name] = _lora_pair(lk[4 + i], _entry_weight(layer["mlp"][name]), cfg.r)
         lora["lm_layers"].append(entry)
-    if cfg.train_diffusion_head:
+    if cfg.train_diffusion_head and not cfg.full_diffusion_head:
         hk = jax.random.split(keys[-1], len(params["diffusion_head"]["layers"]) * 3)
         head = []
         for li, layer in enumerate(params["diffusion_head"]["layers"]):
@@ -81,6 +89,17 @@ def init_lora(key, params: Dict, cfg: LoraConfig) -> Dict:
                 }
             )
         lora["diffusion_head_layers"] = head
+    # dense override components live IN the adapter pytree so the same
+    # optimizer/train-step trains them; they are initialised as copies of the
+    # base weights (zero initial delta, like zero-init B factors)
+    extras: Dict = {}
+    if cfg.train_connectors:
+        extras["acoustic_connector"] = jax.tree.map(lambda x: x, params["acoustic_connector"])
+        extras["semantic_connector"] = jax.tree.map(lambda x: x, params["semantic_connector"])
+    if cfg.train_diffusion_head and cfg.full_diffusion_head:
+        extras["diffusion_head"] = jax.tree.map(lambda x: x, params["diffusion_head"])
+    if extras:
+        lora["extras"] = extras
     return lora
 
 
@@ -134,6 +153,10 @@ def apply_lora(params: Dict, lora: Dict, cfg: LoraConfig) -> Dict:
                 }
             hlayers.append(nl)
         out["diffusion_head"]["layers"] = hlayers
+
+    # dense component overrides (trained connectors / full diffusion head)
+    for key, value in lora.get("extras", {}).items():
+        out[key] = value
     return out
 
 
@@ -147,8 +170,14 @@ merge_lora = apply_lora  # merging for export is the same materialisation
 
 
 def save_lora_assets(path: str, lora: Dict, cfg: LoraConfig, extras: Optional[Dict] = None) -> None:
+    """Write the lora/ checkpoint dir: adapters in lora_adapters.pkl, dense
+    component overrides (trained connectors / full head — either passed
+    explicitly or carried in lora["extras"]) in extras.pkl (the reference's
+    connector pytorch_model.bin + diffusion_head_full.bin analog)."""
     os.makedirs(path, exist_ok=True)
     host = jax.tree.map(lambda x: np.asarray(x), lora)
+    if extras is None:
+        extras = host.pop("extras", None)
     with open(os.path.join(path, "lora_adapters.pkl"), "wb") as f:
         pickle.dump({"lora": host, "config": cfg.__dict__}, f)
     if extras:

@@ -31,6 +31,9 @@ def parse_args():
     ap.add_argument("--lora_alpha", type=int, default=32)
     ap.add_argument("--lora_target_modules", nargs="*", default=["q", "k", "v", "o", "gate", "up", "down"])
     ap.add_argument("--train_diffusion_head", action="store_true", default=True)
+    ap.add_argument("--lora_full_diffusion_head", action="store_true",
+                    help="with --use_lora: train the diffusion head FULL-RANK "
+                    "instead of via adapters (reference diffusion_head_full.bin)")
     # selective freeze/unfreeze (reference ModelArguments :107-122)
     ap.add_argument("--train_connectors", action="store_true")
     ap.add_argument("--train_acoustic_tokenizer", action="store_true",
@@ -319,6 +322,8 @@ def main():
             alpha=args.lora_alpha,
             target_modules=tuple(args.lora_target_modules),
             train_diffusion_head=args.train_diffusion_head,
+            train_connectors=args.train_connectors,
+            full_diffusion_head=args.lora_full_diffusion_head,
         )
         lora = init_lora(jax.random.PRNGKey(args.seed + 1), params, lora_cfg)
         state = init_train_state(lora, optimizer)

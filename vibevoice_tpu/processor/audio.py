@@ -171,11 +171,16 @@ class VibeVoiceTokenizerProcessor:
         audio,
         output_path: str = "output.wav",
         sampling_rate: Optional[int] = None,
+        normalize: bool = False,
         batch_prefix: str = "audio_",
     ) -> Union[str, List[str]]:
-        """Write waveform(s) to WAV (reference :352-457)."""
+        """Write waveform(s) to WAV (reference :352-457); normalize=True
+        applies the dB-FS normalizer before writing (reference :381-384)."""
         sr = sampling_rate or self.sampling_rate
         arr = np.asarray(audio)
+        if normalize:
+            norm = self.normalizer or AudioNormalizer()
+            arr = norm(arr)
         if arr.ndim > 1 and arr.shape[0] > 1:
             os.makedirs(output_path, exist_ok=True)
             paths = []

@@ -448,7 +448,10 @@ class ServingEngine:
         cancelled = sum(r["outcome"] == "cancelled" for r in recs)
         expired = sum(r["outcome"] == "deadline_expired" for r in recs)
         ttfa = [r["ttfa_ms"] for r in recs if r["ttfa_ms"] is not None]
-        active = sum(h is not None for h in self.slots)
+        # retiring handles (slot freed at dispatch time, final in-flight
+        # window still delivering) are active, not queued — snapshot once,
+        # the list is only mutated on the decode thread (ADVICE r3)
+        active = sum(h is not None for h in self.slots) + len(list(self._retiring))
         queued = submitted - completed - failed - cancelled - expired - active
         ttfa = sorted(ttfa[-256:])
         pct = lambda q: ttfa[min(len(ttfa) - 1, int(q * len(ttfa)))] if ttfa else None

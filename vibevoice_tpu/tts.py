@@ -71,12 +71,16 @@ class VibeVoiceTTS:
         int8=True quantizes LM + lm_head host-side (the 7B-on-16GB config);
         lora_path loads a fine-tune's `lora/` assets on top."""
         from .utils.compile_cache import enable as enable_cache
-        from .utils.hf_interop import load_checkpoint
+        from .utils.hf_interop import load_pretrained
 
         enable_cache()
-        cfg, params, processor = load_checkpoint(
-            path, dtype=dtype, int8=int8 and not lora_path
-        )
+        loaded = load_pretrained(path, dtype=dtype, int8=int8 and not lora_path)
+        if loaded.model_type != "vibevoice":
+            raise ValueError(
+                f"{path} is a {loaded.model_type} checkpoint; use "
+                "StreamingTTS.from_pretrained for streaming models"
+            )
+        cfg, params, processor = loaded
         if lora_path:
             from .finetune.lora import load_lora_assets
 
@@ -232,10 +236,16 @@ class StreamingTTS:
         """`voice` is a preset file: .npz (native) or the reference's .pt."""
         from .models import streaming as st
         from .utils.compile_cache import enable as enable_cache
-        from .utils.hf_interop import load_streaming_checkpoint
+        from .utils.hf_interop import load_pretrained
 
         enable_cache()
-        cfg, params, processor = load_streaming_checkpoint(path, dtype=dtype)
+        loaded = load_pretrained(path, dtype=dtype)
+        if loaded.model_type != "vibevoice_streaming":
+            raise ValueError(
+                f"{path} is a {loaded.model_type} checkpoint; use "
+                "VibeVoiceTTS.from_pretrained for multi-speaker models"
+            )
+        cfg, params, processor = loaded
         if voice is None:
             raise ValueError("StreamingTTS needs a voice preset (.npz or .pt)")
         if voice.endswith(".pt"):

@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -185,19 +185,112 @@ def save_native(path: str, cfg, params: Dict) -> None:
     os.makedirs(path, exist_ok=True)
     import dataclasses
 
-    def to_jsonable(c):
-        return dataclasses.asdict(c)
-
+    blob = dataclasses.asdict(cfg)
+    # model_type routes load_pretrained (the reference's HF Auto-class
+    # registration analog, configuration_vibevoice.py:14-165)
+    blob["model_type"] = (
+        "vibevoice_streaming" if isinstance(cfg, VibeVoiceStreamingConfig) else "vibevoice"
+    )
     with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(to_jsonable(cfg), f, indent=2, default=str)
+        json.dump(blob, f, indent=2, default=str)
     host = jax.tree.map(lambda x: np.asarray(x), params)
     with open(os.path.join(path, "params.pkl"), "wb") as f:
         pickle.dump(host, f)
 
 
-def load_native(path: str, streaming: bool = False):
+def load_native(path: str, streaming: Optional[bool] = None):
+    if streaming is None:
+        streaming = read_model_type(path) == "vibevoice_streaming"
     cls = VibeVoiceStreamingConfig if streaming else VibeVoiceConfig
     cfg = cls.from_json_file(os.path.join(path, "config.json"))
     with open(os.path.join(path, "params.pkl"), "rb") as f:
         params = pickle.load(f)
     return cfg, jax.tree.map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Single entry point: route by config.json model_type (the reference
+# registers every model with HF Auto classes so one from_pretrained call
+# loads any variant — configuration_vibevoice.py:14-165,
+# modeling_vibevoice.py:486-487; this is the native analog)
+# ---------------------------------------------------------------------------
+
+
+class LoadedModel(NamedTuple):
+    config: object
+    params: Dict
+    processor: object
+    model_type: str  # "vibevoice" | "vibevoice_streaming"
+
+    # tuple-unpacking compatibility with load_checkpoint's 3-tuple
+    def __iter__(self):  # pragma: no cover - trivial
+        return iter((self.config, self.params, self.processor))
+
+
+def read_model_type(path: str) -> str:
+    """model_type from config.json, with a structural fallback for configs
+    written before the field existed (streaming configs carry
+    tts_backbone_num_hidden_layers; full configs carry a semantic tokenizer)."""
+    with open(os.path.join(path, "config.json")) as f:
+        d = json.load(f)
+    mt = d.get("model_type")
+    if mt in ("vibevoice", "vibevoice_streaming"):
+        return mt
+    if mt is not None and str(mt).startswith("vibevoice_streaming"):
+        return "vibevoice_streaming"
+    if "tts_backbone_num_hidden_layers" in d:
+        return "vibevoice_streaming"
+    return "vibevoice"
+
+
+def load_pretrained(
+    path: str,
+    dtype: str = "bfloat16",
+    int8: bool = False,
+    allow_fallback_tokenizer: bool = False,
+) -> LoadedModel:
+    """Load ANY checkpoint dir — multi-speaker or streaming, HF-style sharded
+    safetensors or native params.pkl — routed by config.json's model_type.
+
+    Unpacks like the 3-tuple loaders: ``cfg, params, proc = load_pretrained(p)``
+    (plus ``.model_type`` when the caller needs to route engines)."""
+    model_type = read_model_type(path)
+    is_native = os.path.exists(os.path.join(path, "params.pkl"))
+
+    if model_type == "vibevoice_streaming":
+        if int8:
+            raise NotImplementedError(
+                "int8 host-side loading is wired for the multi-speaker model; "
+                "the streaming 0.5B fits comfortably in bf16"
+            )
+        if is_native:
+            from ..processor.streaming_processor import VibeVoiceStreamingProcessor
+
+            cfg, params = load_native(path, streaming=True)
+            params = _to_dtype(params, jnp.dtype(dtype))
+            proc = VibeVoiceStreamingProcessor.from_pretrained(
+                path, allow_fallback_tokenizer=allow_fallback_tokenizer
+            )
+        else:
+            cfg, params, proc = load_streaming_checkpoint(
+                path, dtype=dtype, allow_fallback_tokenizer=allow_fallback_tokenizer
+            )
+        return LoadedModel(cfg, params, proc, "vibevoice_streaming")
+
+    if is_native:
+        from ..processor.processor import VibeVoiceProcessor
+
+        cfg, params = load_native(path, streaming=False)
+        params = _to_dtype(params, jnp.dtype(dtype))
+        if int8:
+            from ..models.vibevoice import quantize_for_inference
+
+            params = quantize_for_inference(params)
+        proc = VibeVoiceProcessor.from_pretrained(
+            path, allow_fallback_tokenizer=allow_fallback_tokenizer
+        )
+    else:
+        cfg, params, proc = load_checkpoint(
+            path, dtype=dtype, int8=int8, allow_fallback_tokenizer=allow_fallback_tokenizer
+        )
+    return LoadedModel(cfg, params, proc, "vibevoice")
