@@ -78,5 +78,92 @@ def main():
     )
 
 
+def sessions_sweep():
+    """Multi-session real-time capacity sweep (BENCH_SESSIONS=1): for each
+    slot count N, run N concurrent sessions through the batched
+    StreamingSessionEngine on the full-size 0.5B config and measure the
+    6-frame window wall time (budget: 6*3200/24000 = 0.8 s of audio per
+    window per session) and per-session TTFA with staggered admission.
+
+    Prints one JSON line per N plus the headline: the max N where window p95
+    fits the real-time budget AND TTFA p95 < 300 ms. The reference streaming
+    model serves exactly ONE session per GPU (reference
+    modeling_vibevoice_streaming_inference.py:511)."""
+    from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from vibevoice_tpu.configs import VibeVoiceStreamingConfig
+    from vibevoice_tpu.models import streaming as st
+    from vibevoice_tpu.models.inference import GenerateOptions
+    from vibevoice_tpu.serving.streaming_sessions import StreamingSessionEngine
+
+    cfg = VibeVoiceStreamingConfig.from_json_file(
+        os.path.join(os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_0.5b_streaming.json")
+    )
+    params = st.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_NO_FUSE") != "1":
+        params = st.fuse_vocoder(params, cfg, quantize=True)
+    opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=5, kv_int8=False)
+    prompt = np.random.RandomState(0).randint(10, 1000, (1, 64))
+    preset = st.build_voice_preset(cfg, params, prompt, neg_prompt_id=151655, max_len=2048)
+
+    budget_s = 6 * 3200 / 24000.0  # one speech window's audio
+    frames = int(os.environ.get("BENCH_SESSION_FRAMES", "120"))
+    ns = [int(x) for x in os.environ.get("BENCH_SESSION_NS", "1,2,4,8,16").split(",")]
+    rng = np.random.RandomState(7)
+    headline = 0
+    per_n = []
+    for n in ns:
+        eng = StreamingSessionEngine(
+            cfg, params, n_slots=n, max_len=2048, opts=opts,
+            default_preset=preset, ignore_eos=True,
+        )
+        try:
+            # warm the compiled window programs + admit shape
+            eng.submit(rng.randint(10, 1000, (40,)), max_new_frames=12).result(timeout=900)
+            eng.window_times.clear()
+            # staggered admission: every session's TTFA includes joining a
+            # RUNNING loop (the serving-realistic number)
+            handles = []
+            for _ in range(n):
+                handles.append(
+                    eng.submit(rng.randint(10, 1000, (600,)), max_new_frames=frames)
+                )
+                time.sleep(0.03)
+            for h in handles:
+                h.result(timeout=900)
+            wt = np.asarray(eng.window_times[2:])  # drop ramp-up windows
+            ttfa = np.asarray([h.ttfa_ms for h in handles])
+            w_p50, w_p95 = float(np.percentile(wt, 50)), float(np.percentile(wt, 95))
+            t_p50, t_p95 = float(np.percentile(ttfa, 50)), float(np.percentile(ttfa, 95))
+            rt_ok = w_p95 < budget_s and t_p95 < 300.0
+            if rt_ok:
+                headline = max(headline, n)
+            per_n.append(dict(n=n, window_p50_ms=round(w_p50 * 1e3, 1),
+                              window_p95_ms=round(w_p95 * 1e3, 1),
+                              ttfa_p50_ms=round(t_p50, 1), ttfa_p95_ms=round(t_p95, 1),
+                              realtime=bool(rt_ok)))
+            print(json.dumps({"metric": f"streaming_sessions_n{n}",
+                              "value": round(w_p95 * 1e3, 1), "unit": "ms_window_p95",
+                              "ttfa_p95_ms": round(t_p95, 1),
+                              "realtime": bool(rt_ok)}))
+        finally:
+            eng.shutdown(drain=False)
+    print(json.dumps({
+        "metric": "streaming_realtime_sessions_max",
+        "value": headline,
+        "unit": "concurrent_sessions_per_chip",
+        # reference serves 1 session per device (batch-1 hard cap)
+        "vs_baseline": float(headline),
+        "detail": per_n,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SESSIONS") == "1":
+        sessions_sweep()
+    else:
+        main()

@@ -140,8 +140,31 @@ def build_server(args):
         print(f"[serve] warmup compiled the serving path in {spent:.1f}s")
     voices_dir = args.voices_dir
     rt = _build_rt(args) if getattr(args, "streaming_model_path", None) else None
+    rt_engine = None
+    if rt is not None and getattr(args, "rt_sessions", 1) > 1:
+        # multi-session mode: N concurrent /tts/rt requests share ONE batched
+        # device program (the reference caps streaming at batch 1 — this is
+        # the beyond-reference capability, serving/streaming_sessions.py)
+        from vibevoice_tpu.serving.streaming_sessions import StreamingSessionEngine
+
+        rt_engine = StreamingSessionEngine(
+            rt.cfg,
+            rt.params,
+            n_slots=args.rt_sessions,
+            max_len=args.streaming_max_len,
+            opts=inf.GenerateOptions(
+                cfg_scale=1.5, ddpm_steps=args.streaming_ddpm_steps, kv_int8=False
+            ),
+            default_preset=rt.preset,
+            processor=rt.processor,
+        )
     if rt is not None and getattr(args, "warmup", False):
-        print(f"[serve] /tts/rt warmup took {rt.warmup():.1f}s")
+        if rt_engine is not None:
+            h = rt_engine.submit_text("Warming up the session path.", max_new_frames=12)
+            h.result(timeout=600.0)
+            print("[serve] /tts/rt multi-session warmup done")
+        else:
+            print(f"[serve] /tts/rt warmup took {rt.warmup():.1f}s")
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
@@ -235,11 +258,19 @@ def build_server(args):
             self.wfile.write(pcm)
 
         def _rt_response(self, text: str, seed: int):
-            """Chunked-transfer WAV from the 0.5B streaming model: one
-            request at a time (StreamingTTS serializes internally), frames
+            """Chunked-transfer WAV from the 0.5B streaming model, frames
             flushed as the window loop produces them — the lowest-TTFA
-            serving surface."""
-            it = rt.stream(text, seed=seed, ddpm_steps=args.streaming_ddpm_steps)
+            serving surface. With --rt_sessions > 1, concurrent requests are
+            batched into one device program (per-request seeds then feed the
+            shared loop RNG, not a per-session stream); otherwise one request
+            at a time (StreamingTTS serializes internally)."""
+            if rt_engine is not None:
+                handle = rt_engine.submit_text(text)
+                it = handle.frames(timeout=args.request_timeout)
+                close = handle.cancel
+            else:
+                it = rt.stream(text, seed=seed, ddpm_steps=args.streaming_ddpm_steps)
+                close = it.close
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
@@ -257,13 +288,13 @@ def build_server(args):
                     self._write_chunk(pcm)
                     self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
-                return  # dead client: closing the iterator stops the device loop
+                return  # dead client: cancel/close stops the device work
             except Exception:
                 import traceback
 
                 traceback.print_exc()  # stream already committed; log + terminate
             finally:
-                it.close()
+                close()  # cancel() for the session engine, it.close() for bs1
             self.wfile.write(b"0\r\n\r\n")
             self.wfile.flush()
 
@@ -304,6 +335,7 @@ def build_server(args):
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     server.engine = engine  # for tests / shutdown
+    server.rt_engine = rt_engine
     return server
 
 
@@ -338,6 +370,10 @@ def main():
                     help="voice preset for /tts/rt (.npz native or .pt reference)")
     ap.add_argument("--streaming_max_len", type=int, default=8192)
     ap.add_argument("--streaming_ddpm_steps", type=int, default=5)
+    ap.add_argument("--rt_sessions", type=int, default=1,
+                    help="concurrent /tts/rt sessions batched into ONE device "
+                    "program (>1 enables the multi-session engine; the "
+                    "reference streaming model is capped at batch 1)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile prefill/splice/decode at startup so the "
                          "first request never pays the first-shape compile")

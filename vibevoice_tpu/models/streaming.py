@@ -205,6 +205,108 @@ def init_stream_state(
     )
 
 
+def init_session_state(
+    cfg: VibeVoiceStreamingConfig, params: Params, batch: int, max_len: int
+) -> StreamState:
+    """Empty multi-session state: `batch` slots, all finished (inactive).
+    Sessions are spliced in per-slot via `admit_session`."""
+    dtype = params["language_model"]["embed"].dtype
+    h = cfg.decoder_config.hidden_size
+    return StreamState(
+        lm_cache=qwen2.make_cache(_lower_cfg(cfg), batch, max_len, dtype),
+        tts_cache=qwen2.make_cache(_upper_cfg(cfg), batch, max_len, dtype),
+        neg_tts_cache=qwen2.make_cache(_upper_cfg(cfg), batch, max_len, dtype),
+        dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, batch, dtype),
+        tts_h=jnp.zeros((batch, h), dtype),
+        neg_tts_h=jnp.zeros((batch, h), dtype),
+        finished=jnp.ones((batch,), bool),
+    )
+
+
+def preset_admit_arrays(
+    preset: VoicePreset, lane_dim: int, bucket: int = 128, max_len: Optional[int] = None
+) -> Dict:
+    """Host-side: pad a VoicePreset's stacked (L, 1, KH, Sp, D) KV arrays to
+    (L, KH, Sb, lane_dim) with Sb = Sp rounded up to `bucket` (clamped to
+    `max_len`, the slot capacity), so every voice compiles at most a handful
+    of admit program shapes. Returns the kwargs for `admit_session` (numpy;
+    cast on device)."""
+
+    def prep(kv):
+        k, v, ln = kv
+        L, _, kh, sp, d = k.shape
+        sb = -(-sp // bucket) * bucket
+        if max_len is not None:
+            if sp > max_len:
+                raise ValueError(
+                    f"voice preset has {sp} KV rows but the engine's max_len is {max_len}"
+                )
+            sb = min(sb, max_len)
+        ok = np.zeros((L, kh, sb, lane_dim), np.float32)
+        ov = np.zeros((L, kh, sb, lane_dim), np.float32)
+        ok[:, :, :sp, :d] = k[:, 0]
+        ov[:, :, :sp, :d] = v[:, 0]
+        return ok, ov, np.int32(ln[0])
+
+    lm_k, lm_v, lm_len = prep(preset.lm_kv)
+    tts_k, tts_v, tts_len = prep(preset.tts_kv)
+    ng_k, ng_v, ng_len = prep(preset.neg_tts_kv)
+    return dict(
+        lm_k=lm_k, lm_v=lm_v, lm_len=lm_len,
+        tts_k=tts_k, tts_v=tts_v, tts_len=tts_len,
+        ng_k=ng_k, ng_v=ng_v, ng_len=ng_len,
+        tts_h=np.asarray(preset.tts_h[0], np.float32),
+        neg_tts_h=np.asarray(preset.neg_tts_h[0], np.float32),
+    )
+
+
+def admit_session(
+    state: StreamState,
+    slot,
+    *,
+    lm_k, lm_v, lm_len,
+    tts_k, tts_v, tts_len,
+    ng_k, ng_v, ng_len,
+    tts_h, neg_tts_h,
+):
+    """Splice a voice preset into slot `slot` of a multi-session state:
+    overwrite the slot's KV prefix with the preset rows, set its lengths,
+    zero its streaming-decoder conv state, install the preset hidden states,
+    and un-finish it. jit with donate_argnums=(0,) — every update lowers to
+    an in-place dynamic-update-slice on the donated buffers. Residual rows
+    from a previous session beyond the preset length are never read
+    (valid-prefix attention)."""
+
+    def put_cache(cache: qwen2.KVCache, k_new, v_new, ln):
+        assert not cache.quantized, "multi-session admit: int8 KV not supported"
+        ks = tuple(
+            jax.lax.dynamic_update_slice(c, k_new[i][None].astype(c.dtype), (slot, 0, 0, 0))
+            for i, c in enumerate(cache.k)
+        )
+        vs = tuple(
+            jax.lax.dynamic_update_slice(c, v_new[i][None].astype(c.dtype), (slot, 0, 0, 0))
+            for i, c in enumerate(cache.v)
+        )
+        return cache._replace(k=ks, v=vs, length=cache.length.at[slot].set(ln))
+
+    dec_state = jax.tree.map(
+        lambda buf: jax.lax.dynamic_update_slice(
+            buf, jnp.zeros((1,) + buf.shape[1:], buf.dtype), (slot,) + (0,) * (buf.ndim - 1)
+        ),
+        state.dec_state,
+    )
+    dt = state.tts_h.dtype
+    return StreamState(
+        lm_cache=put_cache(state.lm_cache, lm_k, lm_v, lm_len),
+        tts_cache=put_cache(state.tts_cache, tts_k, tts_v, tts_len),
+        neg_tts_cache=put_cache(state.neg_tts_cache, ng_k, ng_v, ng_len),
+        dec_state=dec_state,
+        tts_h=state.tts_h.at[slot].set(tts_h.astype(dt)),
+        neg_tts_h=state.neg_tts_h.at[slot].set(neg_tts_h.astype(dt)),
+        finished=state.finished.at[slot].set(False),
+    )
+
+
 def build_voice_preset(
     cfg: VibeVoiceStreamingConfig,
     params: Params,
@@ -281,7 +383,22 @@ def make_window_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
     (reference modeling_vibevoice_streaming_inference.py:727-751)."""
     from .inference import _trace_opts
 
-    return _make_window_fns_cached(cfg, _trace_opts(opts), inject)
+    return _make_window_fns_cached(cfg, _trace_opts(opts), inject)[:3]
+
+
+def make_session_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
+    """Multi-session (batched) streaming window fns: (text_window_fn,
+    speech_window_fn). text_window takes per-slot (B, 5) ids + valid masks
+    (all-invalid rows are no-ops); speech_window takes an `active` (B,) bool
+    gating which slots commit. Shares the compiled-program memo with
+    make_window_fns — the programs differ only in the active-gating select
+    ops. The reference hard-caps streaming at batch 1 (reference
+    modeling_vibevoice_streaming_inference.py:511); this is the capability
+    it leaves on the table."""
+    from .inference import _trace_opts
+
+    fns = _make_window_fns_cached(cfg, _trace_opts(opts), inject)
+    return fns[0], fns[3]
 
 
 @functools.lru_cache(maxsize=16)
@@ -298,8 +415,11 @@ def _make_window_fns_cached(cfg: VibeVoiceStreamingConfig, opts, inject: bool):
     )
 
     def text_window(params, state: StreamState, text_ids, valid):
-        """Feed a (1, W<=5) text window through lm -> tts_lm (reference
-        :590-610)."""
+        """Feed a (B, W<=5) text window through lm -> tts_lm (reference
+        :590-610). Slots whose window is ALL-invalid (multi-session: a
+        session out of text while others still feed) keep their previous
+        tts_h — the speculative cache write is not committed (advance=0)
+        and is overwritten by the next window."""
         embeds = qwen2.embed_tokens(params["language_model"], text_ids)
         h, lm_cache = qwen2.forward(
             lcfg, params["language_model"], embeds, valid_mask=valid,
@@ -312,9 +432,17 @@ def _make_window_fns_cached(cfg: VibeVoiceStreamingConfig, opts, inject: bool):
         # last VALID hidden (right-padded window)
         last = jnp.maximum(jnp.sum(valid.astype(jnp.int32), axis=1) - 1, 0)
         tts_h = th[jnp.arange(th.shape[0]), last]
+        any_valid = jnp.any(valid, axis=1)
+        tts_h = jnp.where(any_valid[:, None], tts_h, state.tts_h)
         return state._replace(lm_cache=lm_cache, tts_cache=tts_cache, tts_h=tts_h)
 
-    def speech_frame(params, carry, key, frame_noise=None):
+    def speech_frame(params, carry, key, frame_noise=None, active=None):
+        """One diffusion frame. `active` (B,) bool (multi-session mode) gates
+        COMMITMENT: inactive slots (free, finished, or capacity-stopped)
+        still compute — batch elements are independent — but their cache
+        lengths do not advance (speculative write, overwritten later) and
+        their tts_h/neg_tts_h/finished carry through unchanged. active=None
+        is the batch-1 trace (everything commits, as before)."""
         state = carry
         b = state.tts_h.shape[0]
         dtype = params["language_model"]["embed"].dtype
@@ -343,32 +471,43 @@ def _make_window_fns_cached(cfg: VibeVoiceStreamingConfig, opts, inject: bool):
         )
         acoustic_embed = vv.connector_apply(params["acoustic_connector"], latent.astype(dtype))
         tts_in = (acoustic_embed + params["tts_input_types"][0][None, :].astype(dtype))[:, None, :]
-        th, tts_cache = qwen2.forward(ucfg, params["tts_language_model"], tts_in, cache=state.tts_cache)
+        live = None if active is None else (active & ~state.finished)
+        adv = None if live is None else live.astype(jnp.int32)
+        th, tts_cache = qwen2.forward(
+            ucfg, params["tts_language_model"], tts_in, cache=state.tts_cache, advance=adv
+        )
         nh, neg_tts_cache = qwen2.forward(
-            ucfg, params["tts_language_model"], tts_in, cache=state.neg_tts_cache
+            ucfg, params["tts_language_model"], tts_in, cache=state.neg_tts_cache, advance=adv
         )
         eos_p = jax.nn.sigmoid(eos_logit(params, th[:, 0]).astype(jnp.float32))[:, 0]
+        if live is None:
+            tts_h, neg_tts_h = th[:, 0], nh[:, 0]
+            finished = state.finished | (eos_p > 0.5)
+        else:
+            tts_h = jnp.where(live[:, None], th[:, 0], state.tts_h)
+            neg_tts_h = jnp.where(live[:, None], nh[:, 0], state.neg_tts_h)
+            finished = state.finished | (live & (eos_p > 0.5))
         new_state = state._replace(
             tts_cache=tts_cache,
             neg_tts_cache=neg_tts_cache,
             dec_state=dec_state,
-            tts_h=th[:, 0],
-            neg_tts_h=nh[:, 0],
-            finished=state.finished | (eos_p > 0.5),
+            tts_h=tts_h,
+            neg_tts_h=neg_tts_h,
+            finished=finished,
         )
         return new_state, (audio, eos_p)
 
-    def speech_window(params, state: StreamState, key, noise=None):
+    def speech_window(params, state: StreamState, key, noise=None, active=None):
         """Six diffusion frames as a lax.scan (reference :613-694).
         Returns (state, audio (6, B, hop, 1), eos_probs (6, B))."""
         keys = jax.random.split(key, TTS_SPEECH_WINDOW_SIZE)
         if inject:
             state, (audio, eos) = jax.lax.scan(
-                lambda c, x: speech_frame(params, c, x[0], x[1]), state, (keys, noise)
+                lambda c, x: speech_frame(params, c, x[0], x[1], active), state, (keys, noise)
             )
         else:
             state, (audio, eos) = jax.lax.scan(
-                lambda c, k: speech_frame(params, c, k), state, keys
+                lambda c, k: speech_frame(params, c, k, None, active), state, keys
             )
         return state, audio, eos
 
@@ -378,10 +517,14 @@ def _make_window_fns_cached(cfg: VibeVoiceStreamingConfig, opts, inject: bool):
         state, (audio, eos) = speech_frame(params, state, key, fn)
         return state, audio, eos
 
+    def session_speech_window(params, state: StreamState, key, active, noise=None):
+        return speech_window(params, state, key, noise, active)
+
     return (
         jax.jit(text_window, donate_argnums=(1,)),
         jax.jit(speech_window, donate_argnums=(1,)),
         jax.jit(single_frame, donate_argnums=(1,)),
+        jax.jit(session_speech_window, donate_argnums=(1,)),
     )
 
 

@@ -1,0 +1,415 @@
+"""Multi-session real-time streaming engine for the 0.5B model.
+
+The reference hard-caps streaming inference at batch 1 (reference
+modeling_vibevoice_streaming_inference.py:511 "only support batch size 1");
+every concurrent listener needs its own GPU. This engine batches N
+independent sessions into ONE device program: the windowed loop
+(5-text/6-speech, reference :41-42) is already pure functional state over
+right-padded per-sample lengths, so concurrent sessions are just batch rows
+
+* each slot carries its own voice preset (spliced in via
+  `streaming.admit_session` — an in-place dynamic-update on the donated
+  caches), its own script position, and its own EOS/capacity bookkeeping;
+* slots out of text feed all-invalid text windows (no-ops for that row);
+* finished/free slots still compute (batch rows are independent) but commit
+  nothing: their cache lengths stop advancing (`active` gating in
+  streaming.speech_frame) and their outputs are dropped on the host;
+* sessions join at window boundaries: admission cost is one in-place splice,
+  so TTFA for a late joiner is ~one in-flight window + one text window + the
+  first frames of its own speech window.
+
+Throughput economics: one 6-frame speech window produces 6*3200/24000 = 0.8 s
+of audio per active session; the device step scales sublinearly in batch
+(flash grid + conv batch terms), so a single v5e chip sustains many
+real-time listeners where the reference sustains one.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import streaming as st
+from ..models.inference import GenerateOptions, resolve_kv_int8
+
+HOP_FRAMES = st.TTS_SPEECH_WINDOW_SIZE  # 6 speech frames / window
+TEXT_W = st.TTS_TEXT_WINDOW_SIZE  # 5 text tokens / window
+
+
+class StreamSessionHandle:
+    """One live session: frames arrive on an internal queue as the engine's
+    loop produces them; `frames()` iterates them, `result()` concatenates."""
+
+    def __init__(self, text_ids: np.ndarray, admit_kwargs: Dict, *,
+                 noise_bank=None, max_new_frames: Optional[int] = None):
+        self.text_ids = np.asarray(text_ids, np.int64).reshape(-1)
+        self.admit_kwargs = admit_kwargs
+        self.noise_bank = noise_bank
+        self.max_new_frames = max_new_frames
+        self.q: "queue.Queue" = queue.Queue()
+        self.done = threading.Event()
+        self.cancelled = threading.Event()
+        self.error: Optional[BaseException] = None
+        self.reach_max_step = False
+        self.submitted_t = time.monotonic()
+        self.first_audio_t: Optional[float] = None
+        self.n_frames = 0
+
+    # -- consumer side ------------------------------------------------------
+
+    def frames(self, timeout: Optional[float] = None) -> Iterator[np.ndarray]:
+        """Yield float32 hop-sized audio frames until the session ends."""
+        while True:
+            try:
+                item = self.q.get(timeout=timeout)
+            except queue.Empty:
+                if self.done.is_set() and self.q.empty():
+                    break
+                raise TimeoutError("no frame within timeout")
+            if item is None:
+                break
+            yield item
+        if self.error is not None:
+            raise self.error
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        chunks = list(self.frames(timeout=timeout))
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    def cancel(self) -> None:
+        self.cancelled.set()
+
+    @property
+    def ttfa_ms(self) -> Optional[float]:
+        if self.first_audio_t is None:
+            return None
+        return (self.first_audio_t - self.submitted_t) * 1000.0
+
+    # -- engine side --------------------------------------------------------
+
+    def _push(self, frame: np.ndarray) -> None:
+        if self.first_audio_t is None:
+            self.first_audio_t = time.monotonic()
+        self.n_frames += 1
+        self.q.put(frame)
+
+    def _finish(self, error: Optional[BaseException] = None) -> None:
+        self.error = error
+        self.done.set()
+        self.q.put(None)
+
+
+@dataclass
+class _Slot:
+    handle: StreamSessionHandle
+    text_pos: int = 0
+    steps: int = 0
+    max_steps: int = 0
+    frame_counter: int = 0  # noise-bank rows consumed (inject mode)
+
+
+class StreamingSessionEngine:
+    """Batch N concurrent 0.5B streaming sessions onto one device program.
+
+    Args:
+      cfg/params: the streaming model (bf16 on TPU).
+      n_slots: static batch size of the device program (sessions beyond it
+        queue and join as slots free).
+      max_len: per-slot KV capacity (window cadence stops a session before
+        its caches would clamp-write, mirroring streaming.generate).
+      opts: GenerateOptions (cfg_scale/ddpm_steps/sde). kv_int8 must resolve
+        off — multi-session admit splices bf16 rows (short-context serving).
+      default_preset: voice used when submit() gets none.
+      inject: test mode — every submit must carry a noise_bank
+        ({"init": (E, 1, D)[, "sde": (E, S, 1, D)]}, same schema as
+        streaming.generate) and frames consume rows per-slot in order, which
+        makes a batched session bit-comparable to its solo batch-1 run.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        params,
+        *,
+        n_slots: int = 4,
+        max_len: int = 2048,
+        opts: Optional[GenerateOptions] = None,
+        default_preset: Optional[st.VoicePreset] = None,
+        processor=None,
+        inject: bool = False,
+        seed: int = 0,
+        preset_bucket: int = 128,
+        idle_poll_s: float = 0.05,
+        ignore_eos: bool = False,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.n_slots = n_slots
+        self.max_len = max_len
+        opts = opts or GenerateOptions(cfg_scale=1.5, ddpm_steps=5)
+        opts = resolve_kv_int8(opts, max_len)
+        if opts.kv_int8:
+            raise NotImplementedError(
+                "multi-session streaming admits bf16 KV rows; run with "
+                "kv_int8=False (short-context serving) or batch 1"
+            )
+        self.opts = opts
+        self.inject = inject
+        self.processor = processor
+        self.default_preset = default_preset
+        self.preset_bucket = preset_bucket
+        self._idle_poll_s = idle_poll_s
+
+        self._text_fn, self._speech_fn = st.make_session_fns(cfg, opts, inject)
+        self._admit_fn = jax.jit(st.admit_session, donate_argnums=(0,), static_argnums=())
+        self._state = st.init_session_state(cfg, params, n_slots, max_len)
+        self._lane = self._state.tts_cache.k[0].shape[-1]
+        self._key = jax.random.PRNGKey(seed)
+        self._vae_dim = cfg.acoustic_vae_dim
+        self._sde_steps = opts.ddpm_steps
+
+        self.slots: List[Optional[_Slot]] = [None] * n_slots
+        self.pending: "queue.Queue[StreamSessionHandle]" = queue.Queue()
+        self._cv = threading.Condition()
+        self._running = True
+        self._draining = False
+        self.windows_run = 0
+        self.last_window_s: Optional[float] = None
+        self.window_times: List[float] = []  # recent window wall times (bench)
+        self.ignore_eos = ignore_eos  # bench/testing: random-weight EOS noise
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # Submission
+    # ------------------------------------------------------------------
+
+    def submit(
+        self,
+        text_ids: np.ndarray,
+        preset: Optional[st.VoicePreset] = None,
+        *,
+        noise_bank=None,
+        max_new_frames: Optional[int] = None,
+    ) -> StreamSessionHandle:
+        if self._draining or not self._running:
+            raise RuntimeError("engine is draining")
+        preset = preset or self.default_preset
+        if preset is None:
+            raise ValueError("no preset given and no default_preset configured")
+        if self.inject and noise_bank is None:
+            raise ValueError("inject engine: every submit needs a noise_bank")
+        admit_kwargs = st.preset_admit_arrays(
+            preset, self._lane, self.preset_bucket, max_len=self.max_len
+        )
+        h = StreamSessionHandle(
+            text_ids, admit_kwargs, noise_bank=noise_bank, max_new_frames=max_new_frames
+        )
+        # capacity bookkeeping mirrors streaming.generate:438
+        h._max_steps = self.max_len - int(admit_kwargs["tts_len"])
+        self.pending.put(h)
+        with self._cv:
+            self._cv.notify_all()
+        return h
+
+    def submit_text(self, text: str, preset: Optional[st.VoicePreset] = None,
+                    **kw) -> StreamSessionHandle:
+        if self.processor is None:
+            raise RuntimeError("engine built without a processor")
+        preset = preset or self.default_preset
+        out = self.processor.process_input_with_cached_prompt(text, preset)
+        return self.submit(out.tts_text_ids, preset, **kw)
+
+    # ------------------------------------------------------------------
+    # Loop
+    # ------------------------------------------------------------------
+
+    def _admit_pending(self) -> None:
+        for b in range(self.n_slots):
+            if self.slots[b] is not None:
+                continue
+            try:
+                h = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            if h.cancelled.is_set():
+                h._finish()
+                continue
+            try:
+                self._state = self._admit_fn(self._state, b, **{
+                    k: v for k, v in h.admit_kwargs.items()
+                })
+            except BaseException as e:
+                # a bad preset must fail ITS handle, not hang the waiter or
+                # kill the loop for the resident sessions
+                h._finish(e)
+                continue
+            self.slots[b] = _Slot(handle=h, max_steps=h._max_steps)
+
+    def _retire(self, b: int, *, reach_max_step: bool = False) -> None:
+        slot = self.slots[b]
+        self.slots[b] = None
+        if slot is not None:
+            slot.handle.reach_max_step = reach_max_step
+            slot.handle._finish()
+
+    def _loop(self) -> None:
+        try:
+            while self._running:
+                self._admit_pending()
+                occupied = [b for b in range(self.n_slots) if self.slots[b] is not None]
+                if not occupied:
+                    with self._cv:
+                        if self.pending.empty():
+                            self._cv.wait(timeout=self._idle_poll_s)
+                    if self._draining and self.pending.empty():
+                        break
+                    continue
+
+                t0 = time.monotonic()
+                # per-slot cancellation / capacity gate (streaming.generate:448)
+                for b in list(occupied):
+                    slot = self.slots[b]
+                    if slot.handle.cancelled.is_set():
+                        self._retire(b)
+                    elif slot.steps + TEXT_W + HOP_FRAMES > slot.max_steps:
+                        self._retire(b, reach_max_step=True)
+                    elif (slot.handle.max_new_frames is not None
+                          and slot.handle.n_frames >= slot.handle.max_new_frames):
+                        self._retire(b, reach_max_step=True)
+                occupied = [b for b in range(self.n_slots) if self.slots[b] is not None]
+                if not occupied:
+                    continue
+
+                # ---- text window: per-slot chunks, all-invalid rows no-op
+                ids = np.zeros((self.n_slots, TEXT_W), np.int32)
+                valid = np.zeros((self.n_slots, TEXT_W), bool)
+                any_text = False
+                for b in occupied:
+                    slot = self.slots[b]
+                    rem = slot.handle.text_ids[slot.text_pos : slot.text_pos + TEXT_W]
+                    if rem.size:
+                        ids[b, : rem.size] = rem
+                        valid[b, : rem.size] = True
+                        slot.text_pos += rem.size
+                        slot.steps += rem.size
+                        any_text = True
+                if any_text:
+                    self._state = self._text_fn(
+                        self.params, self._state, jnp.asarray(ids), jnp.asarray(valid)
+                    )
+
+                # ---- speech window
+                active = np.zeros((self.n_slots,), bool)
+                for b in occupied:
+                    active[b] = True
+                self._key, sk = jax.random.split(self._key)
+                if self.inject:
+                    noise = self._gather_noise(occupied)
+                    self._state, audio, eos = self._speech_fn(
+                        self.params, self._state, sk, jnp.asarray(active), noise
+                    )
+                else:
+                    self._state, audio, eos = self._speech_fn(
+                        self.params, self._state, sk, jnp.asarray(active)
+                    )
+                for b in occupied:
+                    self.slots[b].steps += HOP_FRAMES
+                    self.slots[b].frame_counter += HOP_FRAMES
+
+                # one transport round-trip per window (separate fetches cost
+                # ~25 ms each on the remote tunnel)
+                audio_np, eos_np = jax.device_get((audio, eos))
+                self.windows_run += 1
+                self.last_window_s = time.monotonic() - t0
+                self.window_times.append(self.last_window_s)
+                if len(self.window_times) > 2048:
+                    del self.window_times[:1024]
+
+                # ---- route frames / EOS per slot
+                for b in occupied:
+                    slot = self.slots[b]
+                    if slot is None or slot.handle.cancelled.is_set():
+                        continue
+                    keep = HOP_FRAMES
+                    hit = np.nonzero(eos_np[:, b] > 0.5)[0]
+                    if hit.size and self.ignore_eos:
+                        hit = np.zeros(0, np.int64)
+                    if hit.size:
+                        keep = int(hit[0]) + 1
+                    for f in range(keep):
+                        slot.handle._push(audio_np[f, b, :, 0])
+                    if hit.size:
+                        self._retire(b)
+            # drain epilogue: anything still queued is refused
+            while True:
+                try:
+                    self.pending.get_nowait()._finish(
+                        RuntimeError("engine shut down before the session started")
+                    )
+                except queue.Empty:
+                    break
+        except BaseException as e:  # deliver the failure to every waiter
+            for b in range(self.n_slots):
+                if self.slots[b] is not None:
+                    self.slots[b].handle._finish(e)
+                    self.slots[b] = None
+            while True:
+                try:
+                    self.pending.get_nowait()._finish(e)
+                except queue.Empty:
+                    break
+            if self._running:
+                raise
+
+    def _gather_noise(self, occupied) -> Dict:
+        init = np.zeros((HOP_FRAMES, self.n_slots, self._vae_dim), np.float32)
+        sde = (
+            np.zeros((HOP_FRAMES, self._sde_steps, self.n_slots, self._vae_dim), np.float32)
+            if self.opts.sde
+            else None
+        )
+        for b in occupied:
+            slot = self.slots[b]
+            bank = slot.handle.noise_bank
+            c = slot.frame_counter
+            rows = bank["init"][c : c + HOP_FRAMES]
+            if rows.shape[0] < HOP_FRAMES:
+                raise ValueError(
+                    f"noise_bank['init'] exhausted at frame {c} (slot {b}); enlarge the bank"
+                )
+            init[:, b] = rows[:, 0]
+            if sde is not None:
+                srows = bank["sde"][c : c + HOP_FRAMES]
+                sde[:, :, b] = srows[:, :, 0]
+        noise = {"init": jnp.asarray(init)}
+        if sde is not None:
+            noise["sde"] = jnp.asarray(sde)
+        return noise
+
+    # ------------------------------------------------------------------
+    # Lifecycle / introspection
+    # ------------------------------------------------------------------
+
+    def active_sessions(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    def shutdown(self, drain: bool = True, timeout: float = 120.0) -> None:
+        self._draining = True
+        if drain:
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                if self.active_sessions() == 0 and self.pending.empty():
+                    break
+                time.sleep(0.02)
+        self._running = False
+        with self._cv:
+            self._cv.notify_all()
+        self._thread.join(timeout=timeout)
