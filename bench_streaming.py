@@ -125,14 +125,18 @@ def sessions_sweep():
             # warm the compiled window programs + admit shape
             eng.submit(rng.randint(10, 1000, (40,)), max_new_frames=12).result(timeout=900)
             eng.window_times.clear()
-            # staggered admission: every session's TTFA includes joining a
-            # RUNNING loop (the serving-realistic number)
+            # staggered admission at ~2-window inter-arrival spacing: every
+            # session's TTFA is the MARGINAL cost of joining a RUNNING loop
+            # (the serving-realistic number; an all-at-once burst instead
+            # serializes N admit dispatches ahead of the first window and
+            # reports the burst drain, not per-session latency)
             handles = []
+            n_frames = max(frames, n * 24)  # lifetimes must span the arrival ramp
             for _ in range(n):
                 handles.append(
-                    eng.submit(rng.randint(10, 1000, (600,)), max_new_frames=frames)
+                    eng.submit(rng.randint(10, 1000, (600,)), max_new_frames=n_frames)
                 )
-                time.sleep(0.03)
+                time.sleep(float(os.environ.get("BENCH_SESSION_SPACING_S", "0.25")))
             for h in handles:
                 h.result(timeout=900)
             wt = np.asarray(eng.window_times[2:])  # drop ramp-up windows

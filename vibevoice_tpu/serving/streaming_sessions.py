@@ -175,6 +175,13 @@ class StreamingSessionEngine:
         self._vae_dim = cfg.acoustic_vae_dim
         self._sde_steps = opts.ddpm_steps
 
+        # device-resident admit arrays per voice: re-transferring the ~20 MB
+        # preset KV each admit costs 130-280 ms host->device on the remote
+        # tunnel vs ~40 ms with the arrays already on device; sessions
+        # overwhelmingly reuse a handful of voices. Strong preset refs keep
+        # id() stable; FIFO-evicted beyond _PRESET_CACHE_MAX.
+        self._preset_cache: Dict[int, tuple] = {}
+
         self.slots: List[Optional[_Slot]] = [None] * n_slots
         self.pending: "queue.Queue[StreamSessionHandle]" = queue.Queue()
         self._cv = threading.Condition()
@@ -206,18 +213,42 @@ class StreamingSessionEngine:
             raise ValueError("no preset given and no default_preset configured")
         if self.inject and noise_bank is None:
             raise ValueError("inject engine: every submit needs a noise_bank")
-        admit_kwargs = st.preset_admit_arrays(
-            preset, self._lane, self.preset_bucket, max_len=self.max_len
-        )
+        admit_kwargs, tts_len = self._device_preset(preset)
         h = StreamSessionHandle(
             text_ids, admit_kwargs, noise_bank=noise_bank, max_new_frames=max_new_frames
         )
         # capacity bookkeeping mirrors streaming.generate:438
-        h._max_steps = self.max_len - int(admit_kwargs["tts_len"])
+        h._max_steps = self.max_len - tts_len
         self.pending.put(h)
         with self._cv:
             self._cv.notify_all()
         return h
+
+    _PRESET_CACHE_MAX = 32
+
+    def _device_preset(self, preset: st.VoicePreset):
+        """(admit kwargs with device-resident arrays, preset tts length).
+        KV/h arrays are pre-cast to the cache dtype (bit-identical — the
+        admit splice casts on write anyway) so a cache miss transfers half
+        the bytes, and hits transfer nothing."""
+        ent = self._preset_cache.get(id(preset))
+        if ent is not None:
+            return ent[1], ent[2]
+        host = st.preset_admit_arrays(
+            preset, self._lane, self.preset_bucket, max_len=self.max_len
+        )
+        dt = self._state.tts_cache.k[0].dtype
+        dev = {}
+        for k, v in host.items():
+            arr = np.asarray(v)
+            if arr.dtype == np.float32:
+                arr = jnp.asarray(arr, dt)
+            dev[k] = jax.device_put(arr)
+        tts_len = int(host["tts_len"])
+        if len(self._preset_cache) >= self._PRESET_CACHE_MAX:
+            self._preset_cache.pop(next(iter(self._preset_cache)))
+        self._preset_cache[id(preset)] = (preset, dev, tts_len)
+        return dev, tts_len
 
     def submit_text(self, text: str, preset: Optional[st.VoicePreset] = None,
                     **kw) -> StreamSessionHandle:
