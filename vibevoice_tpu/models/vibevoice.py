@@ -89,6 +89,29 @@ def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(hidden, w.T.astype(hidden.dtype))
 
 
+def lm_logits_cand(params: Params, hidden: jnp.ndarray, cand) -> jnp.ndarray:
+    """Logits for a STATIC candidate set only (the token-constraint set,
+    reference VibeVoiceTokenConstraintProcessor): reads O(C) columns of the
+    logits projection instead of the whole vocab row — the full 151936-column
+    matmul is 233 MB int8 (466 MB bf16) of HBM traffic per frame at 1.5B and
+    its result is discarded except at C≈4 candidate columns. Exact: int8
+    scales are per-column, so slicing commutes with dequantization; the bf16
+    path gathers the same weight rows the full matmul would reduce over.
+    Full-vocab `lm_logits` is still required for top-p sampling (the nucleus
+    is computed over the whole distribution)."""
+    cand = jnp.asarray(cand, jnp.int32)
+    head_q = params["lm"].get("lm_head_q") or params.get("lm_head_q")
+    if head_q is not None:
+        key = "w4" if "w4" in head_q else "w8"
+        w = head_q[key][:, cand].astype(jnp.float32)  # (H, C) — C column tiles
+        s = head_q["scale"][cand].astype(jnp.float32)
+        return jnp.dot(hidden.astype(jnp.float32), w) * s
+    w = params.get("lm_head")
+    if w is None:
+        w = params["lm"]["embed"]
+    return jnp.dot(hidden, w[cand, :].T.astype(hidden.dtype))
+
+
 def quantize_for_inference(
     params: Params,
     components: Tuple[str, ...] = ("lm", "lm_head"),
