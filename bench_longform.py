@@ -111,7 +111,11 @@ def main():
     gen = seq[prompt_len:]
     n_diffusion = int((gen == tokens.speech_diffusion).sum())
     assert n_frames == n_diffusion, (n_frames, n_diffusion)
-    assert bool(out.reach_max_step_sample[0])  # ended at the cache bound
+    # ended at the GLOBAL cache bound: the sequence fills max_len exactly
+    # (the global bound intentionally does not set reach_max_step_sample —
+    # that flag is the PER-SAMPLE cap, inference.py host loop)
+    assert seq.shape[0] == max_len, (seq.shape[0], max_len)
+    assert not bool((gen == tokens.eos).any())  # never chose EOS (forced)
 
     # RTF trajectory vs fill: per ~4K-frame block
     marks = np.asarray(streamer.marks)

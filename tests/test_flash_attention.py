@@ -132,6 +132,46 @@ class TestInt8Quant:
         out = int8_matmul(x, q["w8"], q["scale"])
         assert out.shape == (3, 60)
 
+    def test_block_picker_128_divisible_shapes(self):
+        """The divisor picker itself handles 128-divisible shapes — the
+        runtime gate keeps them on the XLA fallback by default (QUANT_MIN_DIV
+        512: admitting 1.5B gate/up/down even with LARGE (768, 4480) blocks
+        measured bs1 25.2 -> 22.4, round 4), but the picker must return sane
+        large blocks for probing via QUANT_MIN_DIV=128."""
+        from vibevoice_tpu.ops.quant import _pick_blocks
+
+        bk, bn = _pick_blocks(1536, 8960, 8, 2)  # 1.5B gate/up, decode rows
+        assert bk >= 256 and bn >= 512, (bk, bn)
+        assert 1536 % bk == 0 and 8960 % bn == 0
+        bk, bn = _pick_blocks(8960, 1536, 8, 2)  # 1.5B down
+        assert bk >= 256 and bn >= 512, (bk, bn)
+        # lm_head: only 128-wide column blocks divide 151936 -> picker result
+        # is rejected by int8_matmul's >=512 guard (kept on XLA fallback)
+        picked = _pick_blocks(1536, 151936, 8, 2)
+        assert picked is None or picked[1] < 512
+
+    def test_min_div_default_keeps_8960_on_fallback(self, monkeypatch):
+        """Default gate: (1536, 8960) stays on the XLA fallback (the kernel
+        admitting it was a measured regression); QUANT_MIN_DIV=128 probing
+        runs the kernel (interpret mode here) and must match numerically."""
+        from vibevoice_tpu.ops import quant
+
+        rng = np.random.RandomState(2)
+        w = jnp.asarray(rng.randn(1536, 8960).astype(np.float32) * 0.02)
+        x = jnp.asarray(rng.randn(2, 1536).astype(np.float32))
+        q = quant.quantize_weight(w)
+        ref = (x.astype(jnp.bfloat16) @ (q["w8"].astype(jnp.bfloat16)
+               * q["scale"].astype(jnp.bfloat16))).astype(jnp.float32)
+        # default: fallback (== ref exactly, same expression)
+        out_def = quant.int8_matmul(x, q["w8"], q["scale"], interpret=True)
+        np.testing.assert_allclose(np.asarray(out_def, np.float32), np.asarray(ref))
+        # probe mode: the (768, 4480)-block kernel path, bf16-rounding close
+        monkeypatch.setenv("QUANT_MIN_DIV", "128")
+        out_k = quant.int8_matmul(x, q["w8"], q["scale"], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_k, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
+        )
+
     def test_quantized_lm_forward_close(self):
         from vibevoice_tpu.configs import Qwen2Config
         from vibevoice_tpu.models import qwen2

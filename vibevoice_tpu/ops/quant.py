@@ -30,6 +30,16 @@ QUANT_IMPL = os.environ.get("QUANT_IMPL", "pallas")
 
 
 @functools.lru_cache(maxsize=None)
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # backend init failure -> be safe, use XLA path
+        return False
+
+
+@functools.lru_cache(maxsize=None)
 def _pick_blocks(cin: int, cout: int, rows: int, xbytes: int):
     """Largest-divisor block shapes under a VMEM budget.
 
@@ -134,14 +144,20 @@ def int8_matmul(
     if r_pad != rows:
         x2 = jnp.pad(x2, ((0, r_pad - rows), (0, 0)))
     picked = None
-    if cin % 512 == 0 and cout % 512 == 0:
+    min_div = int(os.environ.get("QUANT_MIN_DIV", "512"))
+    if (interpret or _on_tpu()) and cin % min_div == 0 and cout % min_div == 0:
         # Adaptive blocks only for 512-divisible shapes (the shapes the fixed
-        # 512-block kernel served): 7B gate/up/down at 512x512 ran 259 grid
-        # steps with 512-byte DMA bursts — measured ~5 ms/frame of pure
+        # 512-block kernel served): 7B gate/up/down at fixed 512x512 ran 259
+        # grid steps with 512-byte DMA bursts — measured ~5 ms/frame of pure
         # overhead; the picked blocks cut 7B decode 25.5 -> 20.1 ms (+27%).
-        # Non-divisible shapes (1.5B gate 8960, lm_head vocab 151936) keep
-        # the XLA fused convert+dot fallback — measured equal-or-better than
-        # forcing them through the kernel at decode shapes.
+        # Non-512-divisible shapes keep the XLA fused convert+dot fallback.
+        # MEASURED NEGATIVE (round 4, do not redo): admitting 128-divisible
+        # shapes (QUANT_MIN_DIV=128) puts 1.5B gate/up/down (1536x8960,
+        # 8960 = 128*70) on the kernel with LARGE (768, 4480) blocks — and
+        # still regresses bs1 25.2 -> 22.4 (-11%, reproduced). XLA's fused
+        # convert+dot beats the kernel on these shapes regardless of block
+        # size; the earlier sub-512-block regression was not a block-size
+        # artifact. The env stays for future probing only.
         picked = _pick_blocks(cin, cout, r_pad, x.dtype.itemsize)
         if picked and (picked[1] < 512 or picked[0] < 256):
             picked = None
@@ -221,7 +237,8 @@ def int8_matmul_t(
     if r_pad != rows:
         g2 = jnp.pad(g2, ((0, r_pad - rows), (0, 0)))
     picked = None
-    if cin % 512 == 0 and cout % 512 == 0:
+    min_div = int(os.environ.get("QUANT_MIN_DIV", "128"))
+    if (interpret or _on_tpu()) and cin % min_div == 0 and cout % min_div == 0:
         # same divisor picker as the forward; the roles of the dims swap
         # (grid tiles (BI out-rows, BO contraction))
         picked = _pick_blocks(cout, cin, r_pad, g.dtype.itemsize)
@@ -402,6 +419,9 @@ def _quant_entry(p: Dict) -> Dict:
     dequantize-then-dot, so small layers stay dense."""
     w = p["w"]
     if w.shape[0] % 512 or w.shape[1] % 512:  # small/odd layers stay dense
+        # (kept at 512 even though the matmul kernel now admits 128-divisible
+        # shapes: relaxing WHICH aux weights quantize changes tested numerics
+        # for a measured-neutral win — "int8 tokenizer FFNs were neutral")
         return p
     q = dict(p)
     qq = quantize_weight(q.pop("w"))
