@@ -88,6 +88,20 @@ def main():
         kv_int8=kv_int8,
     )
 
+    # warmup: a tiny bounded generate() pays the one-time jit trace + compile
+    # (~2 min at 1.5B on the remote tunnel) outside the timed run — the
+    # metric is generation speed, not first-call latency
+    # (same max_length -> same compiled cache shapes; the 16/prompt ratio
+    # bounds the warmup at 16 frames via the max_length_times cap)
+    warm_opts = inf.GenerateOptions(
+        ddpm_steps=10, max_length=max_len, max_length_times=16.0 / prompt_len,
+        frames_per_dispatch=8, kv_int8=kv_int8,
+    )
+    inf.generate(
+        cfg, params, input_ids=ids, tokens=tokens, opts=warm_opts, seed=0,
+        forced_tokens=forced[:16],
+    )
+
     streamer = _TrajectoryStreamer()
     t0 = time.perf_counter()
     out = inf.generate(
