@@ -239,7 +239,19 @@ def main():
     rtf, step_time = run_decode(cfg, params, batch=batch, fill=fill, **kw)
 
     prefill_len = int(os.environ.get("BENCH_PREFILL", "0"))
-    lines = []
+    # Print each metric line the moment it is known (flushed): if the driver
+    # times the run out mid-suite, the headline and every finished sub-metric
+    # survive in the record instead of being lost in a buffered batch. The
+    # set rides an env var so the transient-error re-exec (below) does not
+    # print a second copy of lines that already reached the record.
+    emitted = set(filter(None, os.environ.get("_BENCH_EMITTED", "").split(",")))
+
+    def emit(line):
+        if line["metric"] not in emitted:
+            emitted.add(line["metric"])
+            os.environ["_BENCH_EMITTED"] = ",".join(sorted(emitted))
+            print(json.dumps(line), flush=True)
+
     suffix = "" if use_int8 else "_bf16"
     if os.environ.get("BENCH_INT4") == "1":
         suffix += "_int4probe"
@@ -247,6 +259,14 @@ def main():
         suffix += "_kv8"
     if fill:
         suffix += f"_fill{fill}"
+    emit(
+        {
+            "metric": f"RTF_{model.upper()}_decode_bs{batch}{suffix}",
+            "value": round(rtf, 4),
+            "unit": "audio-sec/wall-sec/chip",
+            "vs_baseline": round(rtf / 5.0, 4),
+        }
+    )
     if prefill_len:
         # long-form: fold an N-token prompt prefill into the RTF of a
         # generation that fills the remaining cache with speech frames;
@@ -260,7 +280,7 @@ def main():
         audio_sec = gen_frames * 3200 / 24_000
         wall = prefill_wall + gen_frames * mid_step
         rtf_lf = audio_sec / wall
-        lines.append(
+        emit(
             {
                 "metric": f"RTF_{model.upper()}_longform_{prefill_len}tok_prompt_{max_len}cache{suffix}",
                 "value": round(rtf_lf, 4),
@@ -270,15 +290,6 @@ def main():
                 "midfill_step_ms": round(mid_step * 1e3, 3),
             }
         )
-    lines.insert(
-        0,
-        {
-            "metric": f"RTF_{model.upper()}_decode_bs{batch}{suffix}",
-            "value": round(rtf, 4),
-            "unit": "audio-sec/wall-sec/chip",
-            "vs_baseline": round(rtf / 5.0, 4),
-        },
-    )
 
     # bs4 throughput line by default (compile-cached after the first run);
     # BENCH_QUICK=1 skips it, batch/7B/long-form overrides imply quick mode
@@ -290,7 +301,7 @@ def main():
     )
     if default_run or os.environ.get("BENCH_ALL") == "1":
         rtf4, _ = run_decode(cfg, params, batch=4, **kw)
-        lines.append(
+        emit(
             {
                 "metric": f"RTF_{model.upper()}_decode_bs4{suffix}",
                 "value": round(rtf4, 4),
@@ -306,18 +317,27 @@ def main():
     # BENCH_SUITE=0 disables for focused experiments.
     if default_run and os.environ.get("BENCH_SUITE") != "0":
         try:
-            lines.append(_longform_64k_line(cfg, params, kw))
+            emit(_longform_64k_line(cfg, params, kw))
         except Exception as e:  # noqa: BLE001 - a sub-metric must not kill the headline
             print(f"suite: 64K long-form failed: {e!r}"[:300], file=sys.stderr)
-        lines += _run_sub_bench("bench_streaming.py", {}, timeout=1800)
-        lines += _run_sub_bench(
-            "bench_serving.py",
-            {"BENCH_SLOTS": os.environ.get("BENCH_SLOTS", "4")},
+        for line in _run_sub_bench("bench_streaming.py", {}, timeout=1800):
+            emit(line)
+        # multi-session real-time capacity at the measured headline point
+        # (full 1..16 sweep is BENCH_SESSIONS=1 on bench_streaming.py)
+        for line in _run_sub_bench(
+            "bench_streaming.py",
+            {"BENCH_SESSIONS": "1", "BENCH_SESSION_NS": "16"},
             timeout=1800,
-        )
-
-    for line in lines:
-        print(json.dumps(line))
+        ):
+            emit(line)
+        # 8 slots = the measured aggregate knee (round 4: 4/6/8/12 slots ->
+        # 59.7/70.0/78.4/71.9x; raw bs8 device step 107x)
+        for line in _run_sub_bench(
+            "bench_serving.py",
+            {"BENCH_SLOTS": os.environ.get("BENCH_SLOTS", "8")},
+            timeout=1800,
+        ):
+            emit(line)
 
 
 def _longform_64k_line(cfg, params, kw):

@@ -18,7 +18,7 @@ vibevoice_tpu.serving.ServingEngine.
   GET  /stats       -> EngineStats JSON (outcomes, TTFA p50/p95, audio-sec)
 
 Usage:
-  python demo/serve.py --model_path <ckpt> --port 8400 --max_batch 4
+  python demo/serve.py --model_path <ckpt> --port 8400 --max_batch 8
 
 Without --model_path a tiny random-weight model is served (smoke mode).
 """
@@ -344,7 +344,7 @@ def main():
     ap.add_argument("--model_path", type=str, default=None)
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8400)
-    ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--max_batch", type=int, default=8)  # measured aggregate knee (README serving table)
     ap.add_argument("--max_len", type=int, default=4096)
     ap.add_argument("--cfg_scale", type=float, default=1.3)
     ap.add_argument("--ddpm_steps", type=int, default=10)
