@@ -17,9 +17,23 @@ _TRIED = False
 
 
 def _find_lib() -> Optional[str]:
+    # explicit override first
+    env = os.environ.get("VIBEVOICE_TPU_NATIVE_LIB")
+    if env:
+        return env if os.path.exists(env) else None
+    # repo checkout: `make -C native` drops the .so next to its source
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cand = os.path.join(here, "native", "libaudio_dsp.so")
-    return cand if os.path.exists(cand) else None
+    if os.path.exists(cand):
+        return cand
+    # pip install: setup.py builds the same source as a setuptools extension
+    # shipped inside the package (vibevoice_tpu/_audio_dsp*.so); it exports
+    # plain C symbols and is dlopen'd here, never imported
+    import glob
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hits = sorted(glob.glob(os.path.join(pkg, "_audio_dsp*.so")))
+    return hits[0] if hits else None
 
 
 def load() -> Optional[ctypes.CDLL]:
