@@ -14,6 +14,13 @@ vibevoice_tpu.serving.ServingEngine.
   POST /tts/rt      {"text": "...", "seed"?} -> chunked-transfer WAV from the
                     0.5B STREAMING model (lowest TTFA; bs1, serialized;
                     enable with --streaming_model_path [+ --streaming_voice])
+  POST /v1/audio/speech
+                    OpenAI-compatible surface: {"model": ignored, "input":
+                    "...", "voice"?: name, "response_format"?: "wav"|"pcm",
+                    "seed"?} -> audio/wav or raw 24 kHz s16le PCM. Bare text
+                    gets the "Speaker 1:" script prefix; `voice` maps through
+                    the same --voices_dir VoiceMapper as speaker_names.
+                    Errors come back OpenAI-shaped: {"error": {...}}.
   GET  /health      -> {"status": "ok", "active": N}
   GET  /stats       -> EngineStats JSON (outcomes, TTFA p50/p95, audio-sec)
 
@@ -29,6 +36,7 @@ import argparse
 import io
 import json
 import os
+import re
 import struct
 import sys
 import threading
@@ -191,20 +199,57 @@ def build_server(args):
             self.end_headers()
             self.wfile.write(body)
 
+        def _json_error(self, status: int, message: str):
+            """OpenAI-shaped error body ({"error": {...}}) for /v1 routes."""
+            body = json.dumps(
+                {"error": {"message": message, "type": "invalid_request_error"}}
+            ).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
-            if self.path not in ("/tts", "/tts/stream", "/tts/rt"):
+            if self.path not in ("/tts", "/tts/stream", "/tts/rt", "/v1/audio/speech"):
                 self.send_error(404)
                 return
+            openai_compat = self.path == "/v1/audio/speech"
+            response_format = "wav"
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                text = req["text"]
+                if openai_compat:
+                    # OpenAI audio/speech surface: {model, input, voice,
+                    # response_format}. `model` is accepted and ignored (this
+                    # server hosts one model); bare text gets the script
+                    # prefix the processor expects; `voice` maps through the
+                    # same VoiceMapper as speaker_names.
+                    text = str(req["input"])
+                    if not re.search(r"(?m)^\s*(Speaker\s+\d+|\[\d+\])\s*:", text):
+                        text = f"Speaker 1: {text}"
+                    response_format = str(req.get("response_format", "wav")).lower()
+                    if response_format not in ("wav", "pcm"):
+                        self._json_error(
+                            400,
+                            f"response_format {response_format!r} not supported "
+                            "(this server emits 'wav' or raw 24 kHz s16le 'pcm')",
+                        )
+                        return
+                    voice = req.get("voice")
+                    if voice:
+                        req["speaker_names"] = [str(voice)]
+                else:
+                    text = req["text"]
                 seed = int(req.get("seed", 0))
                 # presence check, not truthiness: deadline_s=0 means
                 # "expired at submit", a legitimate (if unusual) request
                 deadline_s = float(req["deadline_s"]) if "deadline_s" in req else None
             except Exception as e:
-                self.send_error(400, f"bad request: {e}")
+                if openai_compat:
+                    self._json_error(400, f"bad request: {e}")
+                else:
+                    self.send_error(400, f"bad request: {e}")
                 return
 
             if self.path == "/tts/rt":
@@ -214,18 +259,20 @@ def build_server(args):
                 self._rt_response(text, seed)
                 return
 
-            voice_samples = None
-            names = req.get("speaker_names")
-            if names:
-                from demo.inference_from_file import VoiceMapper
-
-                mapper = VoiceMapper(voices_dir)
-                voice_samples = [[mapper.get_voice_path(nm) for nm in names]]
-
             try:
+                voice_samples = None
+                names = req.get("speaker_names")
+                if names:
+                    from demo.inference_from_file import VoiceMapper
+
+                    mapper = VoiceMapper(voices_dir)
+                    voice_samples = [[mapper.get_voice_path(nm) for nm in names]]
                 proc_out = processor(text=text, voice_samples=voice_samples)
             except Exception as e:
-                self.send_error(400, f"processing failed: {e}")
+                if openai_compat:
+                    self._json_error(400, f"processing failed: {e}")
+                else:
+                    self.send_error(400, f"processing failed: {e}")
                 return
 
             handle = engine.submit(
@@ -246,10 +293,21 @@ def build_server(args):
             try:
                 audio = handle.result(timeout=args.request_timeout)
             except Exception as e:
-                self.send_error(500, f"generation failed: {e}")
+                if openai_compat:
+                    self._json_error(500, f"generation failed: {e}")
+                else:
+                    self.send_error(500, f"generation failed: {e}")
                 return
 
             pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+            if openai_compat and response_format == "pcm":
+                # OpenAI 'pcm': raw s16le samples, no container (24 kHz here)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/pcm")
+                self.send_header("Content-Length", str(len(pcm)))
+                self.end_headers()
+                self.wfile.write(pcm)
+                return
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(44 + len(pcm)))

@@ -176,6 +176,90 @@ def test_http_server_whole_and_chunked_stream():
         server.engine.shutdown()
 
 
+def test_http_openai_audio_speech_endpoint():
+    """POST /v1/audio/speech (OpenAI-compatible): bare `input` text is
+    accepted (script prefix added server-side), response_format wav and pcm
+    both deliver, and errors come back as OpenAI-shaped JSON."""
+    import http.client
+    import json
+    import struct
+    import threading
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from demo.serve import build_server
+
+    class A:  # argparse stand-in
+        model_path = None
+        host = "127.0.0.1"
+        port = 0
+        max_batch = 2
+        max_len = 96
+        cfg_scale = 1.3
+        ddpm_steps = 2
+        int8 = False
+        kv_int8 = False
+        voices_dir = "/nonexistent"
+        request_timeout = 300.0
+        verbose = False
+        warmup = False
+        speech_bucket_s = 0.0
+
+    server = build_server(A)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+
+        body = json.dumps({"model": "vibevoice", "input": "hello world"}).encode()
+        conn.request("POST", "/v1/audio/speech", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200 and r.getheader("Content-Type") == "audio/wav"
+        wav = r.read()
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        n_samples = struct.unpack("<I", wav[40:44])[0] // 2
+
+        body = json.dumps({"input": "hello world", "response_format": "pcm",
+                           "seed": 0}).encode()
+        conn.request("POST", "/v1/audio/speech", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200 and r.getheader("Content-Type") == "audio/pcm"
+        pcm = r.read()
+        # raw s16le, no container (frame counts may differ between requests:
+        # decode noise is the engine's shared stream)
+        assert len(pcm) % 2 == 0
+        assert len(wav) == 44 + n_samples * 2
+
+        # unsupported format -> OpenAI-shaped 400
+        body = json.dumps({"input": "x", "response_format": "opus"}).encode()
+        conn.request("POST", "/v1/audio/speech", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        err = json.loads(r.read())
+        assert "error" in err and "opus" in err["error"]["message"]
+
+        # missing `input` -> OpenAI-shaped 400
+        conn.request("POST", "/v1/audio/speech", b"{}",
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400 and "error" in json.loads(r.read())
+
+        # unknown voice with no presets dir -> OpenAI-shaped 400, not a 500
+        body = json.dumps({"input": "x", "voice": "alloy"}).encode()
+        conn.request("POST", "/v1/audio/speech", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400 and "error" in json.loads(r.read())
+        conn.close()
+    finally:
+        server.shutdown()
+        server.engine.shutdown()
+
+
 def _forced_diffusion_engine(params, k, max_len=128):
     """Engine whose step fn forces speech_diffusion every frame (inject-mode
     step with a constant forced script), so requests actually produce audio
@@ -432,6 +516,46 @@ def test_decode_loop_crash_drains_all_requests():
         eng.shutdown()
 
 
+def test_prefill_thread_crash_fails_queued_requests():
+    """Failure isolation for the PREFILL worker: a worker-level fault (not a
+    per-request prefill error, which _prefill_one already surfaces on the
+    handle) must stop the engine and fail queued requests promptly instead of
+    stranding submitters. (Round-4 regression guard: a NameError after
+    placement killed the thread silently and every later submit hung.)"""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=1,
+        max_len=128,
+    )
+    try:
+        def worker_fault(handle):
+            raise RuntimeError("injected prefill-worker fault")
+
+        eng._prefill_one = worker_fault
+        h1 = eng.submit(_make_request(80))
+        h2 = eng.submit(_make_request(81))
+        # whichever the worker picked up raises through _prefill_loop and
+        # kills it; the crash handler must fail the still-queued one too.
+        # (The queued one may instead be finished by the decode thread's
+        # final drain or rejected at submit — any prompt error is correct;
+        # a timeout here is the regression.)
+        for h in (h1, h2):
+            with pytest.raises(
+                RuntimeError,
+                match="prefill-worker fault|engine is stopped|engine shut down",
+            ):
+                h.result(timeout=60)
+        assert eng._stop.is_set()
+    finally:
+        eng.shutdown()
+
+
 def test_retiring_handle_fails_on_decode_crash():
     """A slot freed at DISPATCH time (predicted step-cap finish) leaves its
     handle in _retiring until the final in-flight window is fetched. If the
@@ -573,6 +697,40 @@ def _make_voice_request(seed, samples=27, n=12):
         speech_input_mask=mask,
         seed=seed,
     )
+
+
+def test_request_seed_drives_prefill_noise():
+    """Request.seed must reach the voice-clone VAE draw with the SAME key
+    derivation as inference.generate(seed=...): PRNGKey(seed) + 3-way split.
+    (Round-4 fix: the engine used to advance a shared prefill key and ignore
+    the seed entirely, despite serve.py documenting {"seed": int}.)"""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=1,
+        max_len=128,
+    )
+    seen = {}
+    orig = eng._prefill
+    try:
+        def spy(r, vk):
+            seen[r.seed] = np.asarray(vk)
+            return orig(r, vk)
+
+        eng._prefill = spy
+        for s in (3, 11):
+            h = eng.submit(_make_voice_request(s))
+            h.result(timeout=240)
+        for s in (3, 11):
+            expect = jax.random.split(jax.random.PRNGKey(s), 3)[2]
+            np.testing.assert_array_equal(seen[s], np.asarray(expect))
+    finally:
+        eng.shutdown()
 
 
 def test_speech_bucket_prefill_is_exact():

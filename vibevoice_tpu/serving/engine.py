@@ -90,6 +90,11 @@ class Request:
     speech_tensors: Optional[np.ndarray] = None
     speech_frame_valid: Optional[np.ndarray] = None
     speech_input_mask: Optional[np.ndarray] = None
+    # Seeds the voice-clone VAE noise draw with the same key derivation as
+    # inference.generate(seed=...) — deterministic per request, independent
+    # of arrival order. Frame-level diffusion noise comes from the engine's
+    # shared decode RNG (continuous batching fuses unrelated requests into
+    # one device step); fully deterministic audio needs the offline API.
     seed: int = 0
     max_length_times: float = 2.0
     # wall-clock budget from submit(); an expired request is finished like a
@@ -501,7 +506,26 @@ class ServingEngine:
     # ------------------------------------------------------------------
 
     def _prefill_loop(self):
-        key = jax.random.PRNGKey(0x9EF11)
+        try:
+            self._prefill_loop_inner()
+        except BaseException as e:  # a dead prefill thread must not strand
+            # callers: per-request failures are handled inside _prefill_one
+            # (handle._finish(e)), so anything reaching here is a worker-level
+            # fault. Stop the engine — the decode thread drains slots/ready on
+            # its way out (slot state is decode-thread-owned; calling _drain
+            # here would race it) — and fail the queue only THIS thread
+            # consumes, so nothing waits forever on a prefill that will never
+            # happen.
+            self._stop.set()
+            while True:
+                try:
+                    self.pending.get_nowait()._finish(e)
+                    self.pending.task_done()
+                except queue.Empty:
+                    break
+            raise
+
+    def _prefill_loop_inner(self):
         while not self._stop.is_set():
             try:
                 handle = self.pending.get(timeout=0.02)
@@ -512,28 +536,43 @@ class ServingEngine:
             # graceful drain's idle check never sees a gap while the request
             # is in this worker's hands
             try:
-                key = self._prefill_one(handle, key)
+                try:
+                    self._prefill_one(handle)
+                except BaseException as e:
+                    # worker-level fault with a request in hand: it is in no
+                    # queue anymore, so nothing else can ever finish it
+                    handle._finish(e)
+                    raise
             finally:
                 self.pending.task_done()
 
-    def _prefill_one(self, handle, key):
-        """One request's prefill; returns the advanced RNG key."""
+    def _prefill_one(self, handle):
+        """One request's prefill."""
         if handle.cancelled.is_set():  # cancelled before prefill
             handle._finish()
-            return key
+            return
         if handle._deadline_exceeded():  # expired while queued
             handle.deadline_expired = True
             handle._finish()
-            return key
+            return
         try:
-            key, _pk, vk = jax.random.split(key, 3)  # stream-compatible split
+            # Request.seed drives the voice-clone VAE noise draw through the
+            # SAME derivation as inference.generate(seed=...) (PRNGKey(seed)
+            # + the 3-way split, inference.py generate()), so the prefilled
+            # carry is deterministic per request and arrival-order
+            # independent. Frame-level diffusion noise still comes from the
+            # engine's shared decode RNG: continuous batching fuses unrelated
+            # requests into one device step, so per-frame draws necessarily
+            # depend on what else is scheduled.
+            rk = jax.random.PRNGKey(handle.request.seed)
+            _rk, _pk, vk = jax.random.split(rk, 3)
             single, max_steps = self._prefill(handle.request, vk)
         except BaseException as e:  # surface bad requests to the caller
             handle._finish(e)
-            return key
+            return
         if handle.cancelled.is_set():  # cancelled during prefill
             handle._finish()
-            return key
+            return
         placed = False
         while not self._stop.is_set():
             try:
@@ -560,7 +599,6 @@ class ServingEngine:
                     self.ready.task_done()
                 except queue.Empty:
                     break
-        return key
 
     # ------------------------------------------------------------------
     # decode worker
