@@ -13,7 +13,13 @@ fused step computes identical work regardless of the token chosen
 dispatch, exactly like a real serve.
 
 Env overrides:
+  BENCH_CONFIG=7b  serve the 7B config (int8 LM inline-quantized at init —
+                   the bf16 7B LM must never materialize on a 16 GB chip;
+                   incompatible with BENCH_BF16=1)
   BENCH_BF16=1     bf16 LM instead of the int8 serving default
+  BENCH_KV_INT8=1  force the int8 KV cache (default: tri-state auto policy,
+                   off below 16K slots) — the 7B memory knob at high slot
+                   counts (8 bf16-KV slots + staged prefill carries OOM 16 GB)
   BENCH_SLOTS=N    engine max_batch            (default 4)
   BENCH_REQS=N     total requests submitted    (default 2*slots)
   BENCH_K=N        frames per dispatch         (default 8)
@@ -62,18 +68,30 @@ def main():
     max_len = int(os.environ.get("BENCH_MAX_LEN", "4096"))
     use_int8 = os.environ.get("BENCH_BF16") != "1"
 
-    cfg = VibeVoiceConfig.from_json_file(
-        os.path.join(
-            os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json"
+    model = os.environ.get("BENCH_CONFIG", "1.5b")  # "1.5b" | "7b"
+    if model == "7b":
+        if not use_int8:
+            raise SystemExit("BENCH_CONFIG=7b requires int8 (bf16 7B LM is ~14 GB)")
+        from bench import _load  # layer-by-layer inline int8 init (never bf16)
+
+        cfg, params = _load("qwen2.5_7b_32k.json", lm_int8_inline=True)
+    else:
+        cfg = VibeVoiceConfig.from_json_file(
+            os.path.join(
+                os.path.dirname(__file__), "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json"
+            )
         )
-    )
-    params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if use_int8:
-        params = vv.quantize_for_inference(params, components=("lm", "lm_head"))
+        params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        if use_int8:
+            params = vv.quantize_for_inference(params, components=("lm", "lm_head"))
     params = vv.fuse_for_serving(params, cfg, quantize=use_int8)
 
     tokens = inf.SpecialTokens()
-    opts = inf.GenerateOptions(ddpm_steps=10, max_length=max_len)
+    # BENCH_KV_INT8=1 forces the int8 KV cache (otherwise the tri-state auto
+    # policy: off below 16K slots). Memory knob for 7B at high slot counts —
+    # each staged prefill carry holds a full batch-2 x max_len cache.
+    kv_int8 = True if os.environ.get("BENCH_KV_INT8") == "1" else None
+    opts = inf.GenerateOptions(ddpm_steps=10, max_length=max_len, kv_int8=kv_int8)
     pipeline = os.environ.get("BENCH_NO_PIPELINE") != "1"
     eng = ServingEngine(
         cfg,
@@ -149,6 +167,8 @@ def main():
     audio_sec = total_samples / 24_000.0
     rtf = audio_sec / wall
     suffix = "" if use_int8 else "_bf16"
+    if kv_int8:
+        suffix += "_kv8"
     if not pipeline:
         suffix += "_nopipe"
     if frames != 128:
@@ -156,7 +176,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"SERVE_1.5B_{slots}slot_{n_reqs}req_k{k}_p{prompt}{suffix}",
+                "metric": f"SERVE_{model.upper()}_{slots}slot_{n_reqs}req_k{k}_p{prompt}{suffix}",
                 "value": round(rtf, 4),
                 "unit": "audio-sec/wall-sec/chip",
                 "vs_baseline": round(rtf / 5.0, 4),
