@@ -322,11 +322,13 @@ def main():
             print(f"suite: 64K long-form failed: {e!r}"[:300], file=sys.stderr)
         for line in _run_sub_bench("bench_streaming.py", {}, timeout=1800):
             emit(line)
-        # multi-session real-time capacity at the measured headline point
-        # (full 1..16 sweep is BENCH_SESSIONS=1 on bench_streaming.py)
+        # multi-session real-time capacity: three points so the headline
+        # metric (largest n meeting budget) degrades gracefully if the box
+        # is contended during the record run — a single-point probe read 0
+        # on a loaded host where the idle-box max is 24 (round-4b ledger)
         for line in _run_sub_bench(
             "bench_streaming.py",
-            {"BENCH_SESSIONS": "1", "BENCH_SESSION_NS": "16"},
+            {"BENCH_SESSIONS": "1", "BENCH_SESSION_NS": "8,16,24"},
             timeout=1800,
         ):
             emit(line)

@@ -157,8 +157,8 @@ def sessions_sweep():
         finally:
             eng.shutdown(drain=False)
     if len(ns) > 1:
-        # "max sustained" is only meaningful over a sweep; a single-point run
-        # (e.g. the bench.py suite's n=16 record line) reports just its point
+        # "max sustained" is only meaningful over a sweep (the bench.py suite
+        # records an 8,16,24 sweep); a single-point run reports just its point
         print(json.dumps({
             "metric": "streaming_realtime_sessions_max",
             "value": headline,
