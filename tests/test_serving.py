@@ -556,6 +556,40 @@ def test_prefill_thread_crash_fails_queued_requests():
         eng.shutdown()
 
 
+def test_submit_put_races_stop_drain():
+    """ADVICE r4: a submit() that passes the front _stop check just before a
+    crash/shutdown sets _stop can land its pending.put AFTER every one-shot
+    drain has swept the queue. The post-put re-check must settle the handle
+    itself — a forever-blocked result() is the regression."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=1,
+        max_len=128,
+    )
+    try:
+        orig_put = eng.pending.put
+
+        def racing_put(h, *a, **k):
+            # the crash handler fires between submit's front check and the
+            # put: _stop set, both drains already ran over an empty queue
+            eng._stop.set()
+            orig_put(h, *a, **k)
+
+        eng.pending.put = racing_put
+        h = eng.submit(_make_request(90))
+        with pytest.raises(RuntimeError, match="engine is stopped|engine shut down"):
+            h.result(timeout=30)
+    finally:
+        eng.pending.put = orig_put
+        eng.shutdown()
+
+
 def test_retiring_handle_fails_on_decode_crash():
     """A slot freed at DISPATCH time (predicted step-cap finish) leaves its
     handle in _retiring until the final in-flight window is fetched. If the

@@ -237,7 +237,13 @@ def int8_matmul_t(
     if r_pad != rows:
         g2 = jnp.pad(g2, ((0, r_pad - rows), (0, 0)))
     picked = None
-    min_div = int(os.environ.get("QUANT_MIN_DIV", "128"))
+    # Same 512 default as the forward (ADVICE r4): one env knob must mean the
+    # same thing in both passes. QUANT_MIN_DIV_T probes the backward alone
+    # (e.g. =128 admits 1.5B gate/up/down dx onto the transposed kernel,
+    # avoiding the bf16 W^T materialization — unmeasured; probe before use).
+    min_div = int(
+        os.environ.get("QUANT_MIN_DIV_T", os.environ.get("QUANT_MIN_DIV", "512"))
+    )
     if (interpret or _on_tpu()) and cin % min_div == 0 and cout % min_div == 0:
         # same divisor picker as the forward; the roles of the dims swap
         # (grid tiles (BI out-rows, BO contraction))

@@ -373,14 +373,21 @@ class ServingEngine:
         self.pending.put(handle)
         self._notify_state()
         if self._stop.is_set():
-            # raced with shutdown: _drain may already have swept `pending`;
-            # fail whatever is still queued (a duplicate _finish only adds a
-            # redundant end-sentinel, which consumers never reach)
-            try:
-                self.pending.get_nowait()._finish(RuntimeError("engine is stopped"))
-                self.pending.task_done()
-            except queue.Empty:
-                pass
+            # raced with shutdown or a worker-crash drain (ADVICE r4): the
+            # one-shot drains (_drain / the prefill-crash sweep) may already
+            # have swept `pending` before our put landed. Fail everything
+            # still queued AND this handle directly — a duplicate _finish
+            # only adds a redundant end-sentinel, which consumers never reach.
+            while True:
+                try:
+                    h = self.pending.get_nowait()
+                    if not h._done.is_set():
+                        h._finish(RuntimeError("engine is stopped"))
+                    self.pending.task_done()
+                except queue.Empty:
+                    break
+            if not handle._done.is_set():  # never overwrite a settled outcome
+                handle._finish(RuntimeError("engine is stopped"))
         return handle
 
     def warmup(
