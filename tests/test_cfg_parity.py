@@ -14,7 +14,11 @@ from vibevoice_tpu.models import diffusion_head as dh
 from vibevoice_tpu.schedule import dpm_solver as dpm
 from vibevoice_tpu.utils.torch_convert import convert_diffusion_head
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference checkout absent")
+# fast gate (-m "not slow") skips this module: live-torch CFG-loop parity sweep (~35 s serial)
+pytestmark = [
+    pytest.mark.skipif(not reference_available(), reason="reference checkout absent"),
+    pytest.mark.slow,
+]
 
 
 @pytest.mark.parametrize("steps,cfg_scale", [(5, 1.3), (10, 1.5), (20, 3.0)])

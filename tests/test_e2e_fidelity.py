@@ -27,7 +27,11 @@ from vibevoice_tpu.configs import tiny_config
 from vibevoice_tpu.models import inference as inf
 from vibevoice_tpu.utils.hf_interop import convert_full_model
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference checkout absent")
+# fast gate (-m "not slow") skips this module: live-torch-reference generate parity (~30 s serial)
+pytestmark = [
+    pytest.mark.skipif(not reference_available(), reason="reference checkout absent"),
+    pytest.mark.slow,
+]
 
 TOKENS = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2, bos=None)
 HOP = 8  # ratios (4, 2)

@@ -20,7 +20,11 @@ from vibevoice_tpu.models import inference as inf
 from vibevoice_tpu.models import streaming as st
 from vibevoice_tpu.utils.hf_interop import convert_streaming_model
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference checkout absent")
+# fast gate (-m "not slow") skips this module: live-torch-reference streaming parity (~20 s serial)
+pytestmark = [
+    pytest.mark.skipif(not reference_available(), reason="reference checkout absent"),
+    pytest.mark.slow,
+]
 
 VAE_DIM = 8
 HOP = 8

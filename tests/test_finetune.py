@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# fast gate (-m "not slow") skips this module: trainer CLI smoke + FSDP-adjacent train steps dominate (~240 s serial)
+pytestmark = pytest.mark.slow
+
 from vibevoice_tpu.configs import tiny_config
 from vibevoice_tpu.finetune import data as fdata
 from vibevoice_tpu.finetune.ema import init_ema, swap_in_ema, update_ema

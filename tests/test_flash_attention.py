@@ -59,6 +59,7 @@ def test_flash_matches_reference(b, w, nh, kh, s, lens, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_padded_head_dim_flash_matches_xla():
     """head_dim 64 (the 0.5B streaming LM) rides the flash kernel via
     lane-padded caches (qwen2.make_cache): a forced-flash forward on CPU

@@ -195,6 +195,7 @@ def test_generate_with_pt_latents(params, step_fn):
     assert set(np.unique(out.sequences[:, 9:])).issubset(set(TOKENS.candidates))
 
 
+@pytest.mark.slow
 def test_longform_chunked_prefill_with_boundaries(params):
     """Reduced-scale BASELINE config 3 shape: a prompt longer than
     prefill_chunk (forcing the chunked 64K-prefill path) with voice features,
@@ -264,6 +265,7 @@ def test_generate_with_int8_params(params, step_fn):
     assert set(np.unique(out.sequences[:, 8:])).issubset(set(TOKENS.candidates))
 
 
+@pytest.mark.slow
 def test_sampling_temperature_top_p(params):
     """do_sample with HF GenerationConfig-style temperature/top_p knobs:
     constrained-candidate invariant holds, and a degenerate nucleus

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# fast gate (-m "not slow") skips this module: int8-KV vs float parity sweeps (~44 s serial)
+pytestmark = pytest.mark.slow
+
 from vibevoice_tpu.configs import Qwen2Config
 from vibevoice_tpu.models import qwen2
 

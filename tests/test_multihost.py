@@ -13,6 +13,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# fast gate (-m "not slow") skips this module: subprocess trainer + hybrid-mesh steps (~157 s serial)
+pytestmark = pytest.mark.slow
+
 from vibevoice_tpu.configs import tiny_config
 from vibevoice_tpu.models import vibevoice as vv
 from vibevoice_tpu.parallel import mesh as pmesh

@@ -5,6 +5,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+# fast gate (-m "not slow") skips this module: 8-virtual-device shard_map train/decode parity (~145 s serial)
+pytestmark = pytest.mark.slow
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vibevoice_tpu.configs import tiny_config

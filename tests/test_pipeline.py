@@ -9,6 +9,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# fast gate (-m "not slow") skips this module: GPipe fwd/bwd vs dense at several geometries (~140 s serial)
+pytestmark = pytest.mark.slow
+
 from vibevoice_tpu.configs import tiny_config
 from vibevoice_tpu.models import qwen2
 from vibevoice_tpu.models import vibevoice as vv

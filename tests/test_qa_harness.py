@@ -9,7 +9,11 @@ import pytest
 
 from reference_shim import reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference checkout absent")
+# fast gate (-m "not slow") skips this module: end-to-end QA subprocess on a synthetic checkpoint (~19 s)
+pytestmark = [
+    pytest.mark.skipif(not reference_available(), reason="reference checkout absent"),
+    pytest.mark.slow,
+]
 
 
 def test_qa_harness_on_synthetic_fixture(tmp_path):

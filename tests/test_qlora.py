@@ -3,6 +3,11 @@
 target is 7B LoRA fine-tuning on ONE 16 GB v5e (bf16 base weights alone are
 14 GB); these tests pin the math on CPU at tiny scale."""
 
+import pytest
+
+
+# fast gate (-m "not slow") skips this module: int8-base train steps (~66 s serial)
+pytestmark = pytest.mark.slow
 import numpy as np
 import jax
 import jax.numpy as jnp

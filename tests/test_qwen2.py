@@ -33,6 +33,7 @@ def test_forward_shapes(params):
     assert logits.shape == (2, 6, 128)
 
 
+@pytest.mark.slow
 def test_remat_forward_matches(params):
     """remat=True is a pure memory lever: identical hidden states and grads."""
     x = qwen2.embed_tokens(params, jnp.arange(12).reshape(2, 6))
@@ -172,6 +173,7 @@ class TestGoldenVsHF:
         np.testing.assert_allclose(np.asarray(h), ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_projections_match_unpacked():
     """pack_lm_projections (serving prep): packed int8 qkv/gateup forward
     equals the unpacked int8 forward exactly (per-column scales are preserved

@@ -12,6 +12,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# fast gate (-m "not slow") skips this module: ring SP prefill parity over the CPU mesh (~38 s serial)
+pytestmark = pytest.mark.slow
+
 from vibevoice_tpu.configs import tiny_config
 from vibevoice_tpu.models import inference as inf
 from vibevoice_tpu.models import qwen2

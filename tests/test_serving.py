@@ -663,6 +663,7 @@ def test_engine_tp_sharded():
     assert all(l > 0 for l in lengths[True])
 
 
+@pytest.mark.slow
 def test_http_rt_streaming_endpoint():
     """POST /tts/rt: the 0.5B streaming model behind chunked-transfer WAV
     (smoke model + synthetic preset). Valid live-stream WAV with PCM that is

@@ -118,6 +118,7 @@ def test_concurrent_sessions_match_solo(params, presets):
     assert h1.ttfa_ms is not None and h2.ttfa_ms is not None
 
 
+@pytest.mark.slow
 def test_staggered_admit_matches_solo(params, presets):
     """A session admitted while another is mid-stream still reproduces its
     solo run exactly (slot splice does not disturb the resident session)."""
@@ -147,6 +148,7 @@ def test_staggered_admit_matches_solo(params, presets):
     _assert_audio_match(got2, ref2)
 
 
+@pytest.mark.slow
 def test_queueing_beyond_slots(params, presets):
     """3 sessions on 2 slots: the third queues, joins when a slot frees, and
     still matches its solo run."""
@@ -189,6 +191,7 @@ def test_cancel_frees_slot(params, presets):
     _assert_audio_match(got2, ref2)
 
 
+@pytest.mark.slow
 def test_capacity_stop(params, presets):
     """A session whose caches would overflow max_len stops cleanly with
     reach_max_step (mirrors streaming.generate:448)."""
@@ -236,6 +239,7 @@ def test_drain_shutdown(params, presets):
         eng.submit(np.array([1, 2, 3]), p1, noise_bank=_bank(51))
 
 
+@pytest.mark.slow
 def test_http_concurrent_rt_streams():
     """demo/serve.py --rt_sessions 2: two concurrent POST /tts/rt requests
     are served by the batched session engine (one device program), both
