@@ -110,7 +110,8 @@ def sessions_sweep():
     prompt = np.random.RandomState(0).randint(10, 1000, (1, 64))
     preset = st.build_voice_preset(cfg, params, prompt, neg_prompt_id=151655, max_len=2048)
 
-    budget_s = 6 * 3200 / 24000.0  # one speech window's audio
+    quantum = int(os.environ.get("BENCH_SESSION_QUANTUM", "3"))
+    budget_s = quantum * 3200 / 24000.0  # audio seconds produced per dispatch
     frames = int(os.environ.get("BENCH_SESSION_FRAMES", "120"))
     ns = [int(x) for x in os.environ.get("BENCH_SESSION_NS", "1,2,4,8,16").split(",")]
     rng = np.random.RandomState(7)
@@ -119,7 +120,7 @@ def sessions_sweep():
     for n in ns:
         eng = StreamingSessionEngine(
             cfg, params, n_slots=n, max_len=2048, opts=opts,
-            default_preset=preset, ignore_eos=True,
+            default_preset=preset, ignore_eos=True, quantum=quantum,
         )
         try:
             # warm the compiled window programs + admit shape
@@ -152,6 +153,8 @@ def sessions_sweep():
                               realtime=bool(rt_ok)))
             print(json.dumps({"metric": f"streaming_sessions_n{n}",
                               "value": round(w_p95 * 1e3, 1), "unit": "ms_window_p95",
+                              "quantum_frames": quantum,
+                              "budget_ms": round(budget_s * 1e3, 1),
                               "ttfa_p95_ms": round(t_p95, 1),
                               "realtime": bool(rt_ok)}))
         finally:

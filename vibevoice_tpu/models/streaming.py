@@ -386,19 +386,27 @@ def make_window_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
     return _make_window_fns_cached(cfg, _trace_opts(opts), inject)[:3]
 
 
-def make_session_fns(cfg: VibeVoiceStreamingConfig, opts, inject: bool = False):
+def make_session_fns(
+    cfg: VibeVoiceStreamingConfig, opts, inject: bool = False,
+    quantum: int = TTS_SPEECH_WINDOW_SIZE,
+):
     """Multi-session (batched) streaming window fns: (text_window_fn,
     speech_window_fn). text_window takes per-slot (B, 5) ids + valid masks
     (all-invalid rows are no-ops); speech_window takes an `active` (B,) bool
-    gating which slots commit. Shares the compiled-program memo with
-    make_window_fns — the programs differ only in the active-gating select
-    ops. The reference hard-caps streaming at batch 1 (reference
+    gating which slots commit and runs `quantum` frames per dispatch
+    (6 % quantum == 0; the engine keeps the model's 5-text/6-speech cadence
+    per slot across quanta — a sub-window quantum only changes how often the
+    host can admit joiners and deliver audio, not what any row computes).
+    Shares the compiled-program memo with make_window_fns. The reference
+    hard-caps streaming at batch 1 (reference
     modeling_vibevoice_streaming_inference.py:511); this is the capability
     it leaves on the table."""
     from .inference import _trace_opts
 
+    if TTS_SPEECH_WINDOW_SIZE % quantum != 0:
+        raise ValueError(f"quantum must divide {TTS_SPEECH_WINDOW_SIZE}, got {quantum}")
     fns = _make_window_fns_cached(cfg, _trace_opts(opts), inject)
-    return fns[0], fns[3]
+    return fns[0], fns[3](quantum)
 
 
 @functools.lru_cache(maxsize=16)
@@ -517,14 +525,39 @@ def _make_window_fns_cached(cfg: VibeVoiceStreamingConfig, opts, inject: bool):
         state, (audio, eos) = speech_frame(params, state, key, fn)
         return state, audio, eos
 
-    def session_speech_window(params, state: StreamState, key, active, noise=None):
-        return speech_window(params, state, key, noise, active)
+    def _session_window_n(n):
+        """n-frame session speech window (n = the engine's admission quantum).
+        Splitting the 6-frame scan into 6/n scans of n is computation-
+        identical per row (the scan carry chains through); only the host-side
+        dispatch cadence changes."""
+
+        def fn(params, state: StreamState, key, active, noise=None):
+            keys = jax.random.split(key, n)
+            if inject:
+                state, (audio, eos) = jax.lax.scan(
+                    lambda c, x: speech_frame(params, c, x[0], x[1], active),
+                    state, (keys, noise),
+                )
+            else:
+                state, (audio, eos) = jax.lax.scan(
+                    lambda c, k: speech_frame(params, c, k, None, active), state, keys
+                )
+            return state, audio, eos
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    session_fns: Dict[int, object] = {}
+
+    def get_session_window(n=TTS_SPEECH_WINDOW_SIZE):
+        if n not in session_fns:
+            session_fns[n] = _session_window_n(n)
+        return session_fns[n]
 
     return (
         jax.jit(text_window, donate_argnums=(1,)),
         jax.jit(speech_window, donate_argnums=(1,)),
         jax.jit(single_frame, donate_argnums=(1,)),
-        jax.jit(session_speech_window, donate_argnums=(1,)),
+        get_session_window,
     )
 
 

@@ -113,6 +113,7 @@ class _Slot:
     steps: int = 0
     max_steps: int = 0
     frame_counter: int = 0  # noise-bank rows consumed (inject mode)
+    cycle_pos: int = 0  # frames into the current 6-frame speech window
 
 
 class StreamingSessionEngine:
@@ -148,6 +149,7 @@ class StreamingSessionEngine:
         preset_bucket: int = 128,
         idle_poll_s: float = 0.05,
         ignore_eos: bool = False,
+        quantum: int = 3,
     ):
         self.cfg = cfg
         self.params = params
@@ -166,8 +168,18 @@ class StreamingSessionEngine:
         self.default_preset = default_preset
         self.preset_bucket = preset_bucket
         self._idle_poll_s = idle_poll_s
+        if HOP_FRAMES % quantum != 0:
+            raise ValueError(f"quantum must divide {HOP_FRAMES}, got {quantum}")
+        # admission quantum: frames per device dispatch. The model's
+        # 5-text/6-speech window cadence is kept PER SLOT (text feeds when a
+        # slot's cycle_pos wraps), so each row computes exactly its solo
+        # sequence; a sub-window quantum (default 3) only shortens how long a
+        # joiner waits for admission + first audio — the join-TTFA knee that
+        # capped round-4 capacity at 24 sessions. quantum=6 restores the
+        # one-dispatch-per-window loop (max throughput, slower joins).
+        self.quantum = quantum
 
-        self._text_fn, self._speech_fn = st.make_session_fns(cfg, opts, inject)
+        self._text_fn, self._speech_fn = st.make_session_fns(cfg, opts, inject, quantum=quantum)
         self._admit_fn = jax.jit(st.admit_session, donate_argnums=(0,), static_argnums=())
         self._state = st.init_session_state(cfg, params, n_slots, max_len)
         self._lane = self._state.tts_cache.k[0].shape[-1]
@@ -305,12 +317,16 @@ class StreamingSessionEngine:
                     continue
 
                 t0 = time.monotonic()
-                # per-slot cancellation / capacity gate (streaming.generate:448)
+                # per-slot cancellation / frame-cap gate, every quantum; the
+                # capacity gate (streaming.generate:448) only at a window
+                # boundary — mid-window slots already cleared it at the
+                # window's start, exactly like the solo loop
                 for b in list(occupied):
                     slot = self.slots[b]
                     if slot.handle.cancelled.is_set():
                         self._retire(b)
-                    elif slot.steps + TEXT_W + HOP_FRAMES > slot.max_steps:
+                    elif (slot.cycle_pos == 0
+                          and slot.steps + TEXT_W + HOP_FRAMES > slot.max_steps):
                         self._retire(b, reach_max_step=True)
                     elif (slot.handle.max_new_frames is not None
                           and slot.handle.n_frames >= slot.handle.max_new_frames):
@@ -319,12 +335,18 @@ class StreamingSessionEngine:
                 if not occupied:
                     continue
 
-                # ---- text window: per-slot chunks, all-invalid rows no-op
+                # ---- text window: only slots STARTING a 5-text/6-speech
+                # window this quantum (cycle_pos 0 — freshly admitted or just
+                # wrapped); other rows are all-invalid no-ops. Per-slot
+                # cadence is therefore exactly the solo 5/6 interleave even
+                # when slots joined mid-window of one another.
                 ids = np.zeros((self.n_slots, TEXT_W), np.int32)
                 valid = np.zeros((self.n_slots, TEXT_W), bool)
                 any_text = False
                 for b in occupied:
                     slot = self.slots[b]
+                    if slot.cycle_pos != 0:
+                        continue
                     rem = slot.handle.text_ids[slot.text_pos : slot.text_pos + TEXT_W]
                     if rem.size:
                         ids[b, : rem.size] = rem
@@ -337,7 +359,7 @@ class StreamingSessionEngine:
                         self.params, self._state, jnp.asarray(ids), jnp.asarray(valid)
                     )
 
-                # ---- speech window
+                # ---- speech quantum
                 active = np.zeros((self.n_slots,), bool)
                 for b in occupied:
                     active[b] = True
@@ -352,10 +374,19 @@ class StreamingSessionEngine:
                         self.params, self._state, sk, jnp.asarray(active)
                     )
                 for b in occupied:
-                    self.slots[b].steps += HOP_FRAMES
-                    self.slots[b].frame_counter += HOP_FRAMES
+                    slot = self.slots[b]
+                    slot.steps += self.quantum
+                    slot.frame_counter += self.quantum
+                    slot.cycle_pos = (slot.cycle_pos + self.quantum) % HOP_FRAMES
 
-                # one transport round-trip per window (separate fetches cost
+                # late-arrival admission point: dispatch admit splices for
+                # already-free slots NOW, while the device still runs the
+                # quantum (the splice queues behind it) — a joiner arriving
+                # mid-quantum starts its first window next iteration instead
+                # of after the fetch+route of this one
+                self._admit_pending()
+
+                # one transport round-trip per quantum (separate fetches cost
                 # ~25 ms each on the remote tunnel)
                 audio_np, eos_np = jax.device_get((audio, eos))
                 self.windows_run += 1
@@ -369,7 +400,7 @@ class StreamingSessionEngine:
                     slot = self.slots[b]
                     if slot is None or slot.handle.cancelled.is_set():
                         continue
-                    keep = HOP_FRAMES
+                    keep = self.quantum
                     hit = np.nonzero(eos_np[:, b] > 0.5)[0]
                     if hit.size and self.ignore_eos:
                         hit = np.zeros(0, np.int64)
@@ -401,9 +432,10 @@ class StreamingSessionEngine:
                 raise
 
     def _gather_noise(self, occupied) -> Dict:
-        init = np.zeros((HOP_FRAMES, self.n_slots, self._vae_dim), np.float32)
+        q = self.quantum
+        init = np.zeros((q, self.n_slots, self._vae_dim), np.float32)
         sde = (
-            np.zeros((HOP_FRAMES, self._sde_steps, self.n_slots, self._vae_dim), np.float32)
+            np.zeros((q, self._sde_steps, self.n_slots, self._vae_dim), np.float32)
             if self.opts.sde
             else None
         )
@@ -411,14 +443,14 @@ class StreamingSessionEngine:
             slot = self.slots[b]
             bank = slot.handle.noise_bank
             c = slot.frame_counter
-            rows = bank["init"][c : c + HOP_FRAMES]
-            if rows.shape[0] < HOP_FRAMES:
+            rows = bank["init"][c : c + q]
+            if rows.shape[0] < q:
                 raise ValueError(
                     f"noise_bank['init'] exhausted at frame {c} (slot {b}); enlarge the bank"
                 )
             init[:, b] = rows[:, 0]
             if sde is not None:
-                srows = bank["sde"][c : c + HOP_FRAMES]
+                srows = bank["sde"][c : c + q]
                 sde[:, :, b] = srows[:, :, 0]
         noise = {"init": jnp.asarray(init)}
         if sde is not None:
