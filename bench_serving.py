@@ -35,6 +35,12 @@ Env overrides:
                    short ones the admission overhead)
   BENCH_NO_PIPELINE=1  sequential fetch (latency mode: with BENCH_K=1 and
                    BENCH_REQS=1 this measures single-stream serving TTFA)
+  BENCH_PRIORITY=N reserve N express slots (engine reserved_slots=N) and,
+                   while the bulk load runs, submit 3 staggered
+                   Request(priority=True) requests; emits a second line with
+                   their TTFA p50/max vs the bulk ttfa_p50 — the measured
+                   cost/benefit of the latency lane (bulk throughput drops
+                   toward the (slots-N)-slot aggregate)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 5.0 (BASELINE.md: >=5x realtime per chip).
@@ -93,6 +99,7 @@ def main():
     kv_int8 = True if os.environ.get("BENCH_KV_INT8") == "1" else None
     opts = inf.GenerateOptions(ddpm_steps=10, max_length=max_len, kv_int8=kv_int8)
     pipeline = os.environ.get("BENCH_NO_PIPELINE") != "1"
+    reserved = int(os.environ.get("BENCH_PRIORITY", "0"))
     eng = ServingEngine(
         cfg,
         params,
@@ -102,6 +109,7 @@ def main():
         max_len=max_len,
         frames_per_dispatch=k,
         pipeline=pipeline,
+        reserved_slots=reserved,
     )
 
     # Force speech_diffusion every frame (see module docstring): same device
@@ -120,7 +128,7 @@ def main():
     prompt = int(os.environ.get("BENCH_PROMPT", "64"))
     frames = int(os.environ.get("BENCH_FRAMES", "128"))  # ~17 s of audio at 7.5 Hz
 
-    def make_request(seed):
+    def make_request(seed, priority=False):
         ids = np.random.RandomState(seed).randint(10, 1000, (1, prompt)).astype(np.int64)
         ids[0, -1] = tokens.speech_start
         return Request(
@@ -128,6 +136,7 @@ def main():
             valid_mask=np.ones((1, prompt), bool),
             seed=seed,
             max_length_times=frames / prompt,
+            priority=priority,
         )
 
     try:
@@ -154,13 +163,30 @@ def main():
             w.start()
             handles.append(h)
             watchers.append(w)
+        pri_ttfa, pri_handles = {}, []
+        if reserved:
+            # 3 staggered priority arrivals while the bulk queue is full: the
+            # latency-lane claim is their TTFA under load, not in isolation
+            for j in range(3):
+                time.sleep(2.0)
+                hp = eng.submit(make_request(1000 + j, priority=True))
+                wp = threading.Thread(
+                    target=consume, args=(f"p{j}", hp, time.perf_counter()),
+                    daemon=True,
+                )
+                wp.start()
+                pri_handles.append(hp)
+                watchers.append(wp)
         total_samples = 0
-        for h in handles:
+        for h in handles + pri_handles:
             audio = h.result(timeout=1800)
             total_samples += len(audio)
         wall = time.perf_counter() - t0
         for w in watchers:
             w.join(timeout=10)
+        if reserved:
+            pri_ttfa = {kk: v for kk, v in ttfa.items() if isinstance(kk, str)}
+            ttfa = {kk: v for kk, v in ttfa.items() if not isinstance(kk, str)}
     finally:
         eng.shutdown()
 
@@ -171,6 +197,8 @@ def main():
         suffix += "_kv8"
     if not pipeline:
         suffix += "_nopipe"
+    if reserved:
+        suffix += f"_r{reserved}"
     if frames != 128:
         suffix += f"_f{frames}"
     print(
@@ -192,6 +220,24 @@ def main():
             }
         )
     )
+    if reserved and pri_ttfa:
+        vals = sorted(pri_ttfa.values())
+        print(
+            json.dumps(
+                {
+                    "metric": f"SERVE_priority_ttfa_under_load_{slots}slot{suffix}",
+                    "value": round(vals[len(vals) // 2] * 1e3, 1),
+                    "unit": "ms_p50",
+                    "max_ms": round(vals[-1] * 1e3, 1),
+                    # the bulk queue's TTFA p50 under the same load = what the
+                    # lane saves; the aggregate line above = what it costs
+                    "bulk_ttfa_p50_ms": round(
+                        sorted(ttfa.values())[len(ttfa) // 2] * 1e3, 1
+                    ) if ttfa else None,
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -135,6 +135,7 @@ def build_server(args):
         pipeline=not getattr(args, "no_pipeline", False),
         mesh=mesh,
         speech_bucket=vb,
+        reserved_slots=getattr(args, "reserved_slots", 0),
     )
     if getattr(args, "warmup", False):
         # prime the prompt-bucket prefill, the voice-clone prefill variant at
@@ -245,6 +246,8 @@ def build_server(args):
                 # presence check, not truthiness: deadline_s=0 means
                 # "expired at submit", a legitimate (if unusual) request
                 deadline_s = float(req["deadline_s"]) if "deadline_s" in req else None
+                # latency lane (needs --reserved_slots > 0 to guarantee a slot)
+                priority = bool(req.get("priority", False))
             except Exception as e:
                 if openai_compat:
                     self._json_error(400, f"bad request: {e}")
@@ -284,6 +287,7 @@ def build_server(args):
                     speech_input_mask=proc_out.speech_input_mask,
                     seed=seed,
                     deadline_s=deadline_s,
+                    priority=priority,
                 )
             )
             if self.path == "/tts/stream":
@@ -403,6 +407,8 @@ def main():
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8400)
     ap.add_argument("--max_batch", type=int, default=8)  # measured aggregate knee (README serving table)
+    ap.add_argument("--reserved_slots", type=int, default=0,
+                    help="express slots only priority=true requests may occupy")
     ap.add_argument("--max_len", type=int, default=4096)
     ap.add_argument("--cfg_scale", type=float, default=1.3)
     ap.add_argument("--ddpm_steps", type=int, default=10)

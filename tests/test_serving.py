@@ -556,6 +556,56 @@ def test_prefill_thread_crash_fails_queued_requests():
         eng.shutdown()
 
 
+def test_priority_lane_express_slot():
+    """VERDICT r4 item 4: with reserved_slots=1, bulk requests queue for the
+    non-reserved slots while a Request(priority=True) jumps the prefill queue
+    and takes the express slot immediately — its TTFA under full bulk load is
+    admission-bound, not queue-for-slot-bound."""
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(
+        CFG,
+        params,
+        tokens=TOKENS,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=2,
+        max_len=128,
+        reserved_slots=1,
+    )
+    try:
+        # three long bulk requests: one active in the bulk slot, two queued
+        bulk = [eng.submit(_make_request(60 + i, n=24)) for i in range(3)]
+        assert eng.wait_for_state(lambda: eng.slots[1] is not None, 120)
+        # the express slot never holds bulk work, even with a deep bulk queue
+        assert eng.slots[0] is None
+
+        pr = _make_request(70, n=8)
+        pr.priority = True
+        hp = eng.submit(pr)
+        assert eng.wait_for_state(lambda: eng.slots[0] is hp, 120), (
+            "priority request never reached the express slot"
+        )
+        hp.result(timeout=120)
+        for h in bulk:
+            h.result(timeout=300)
+        assert all(h.rec["outcome"] == "completed" for h in bulk + [hp])
+    finally:
+        eng.shutdown()
+
+
+def test_reserved_slots_validation():
+    import jax
+
+    params = vv.init(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError, match="reserved_slots"):
+        ServingEngine(
+            CFG, params, tokens=TOKENS,
+            opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+            max_batch=2, max_len=128, reserved_slots=2,
+        )
+
+
 def test_submit_put_races_stop_drain():
     """ADVICE r4: a submit() that passes the front _stop check just before a
     crash/shutdown sets _stop can land its pending.put AFTER every one-shot

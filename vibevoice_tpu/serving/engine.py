@@ -101,6 +101,11 @@ class Request:
     # cancel (audio already produced stays available) and counts as
     # `deadline_expired` in EngineStats
     deadline_s: Optional[float] = None
+    # latency lane: a priority request jumps the prefill queue and may take
+    # ANY free slot — including the engine's `reserved_slots` express slots
+    # that bulk requests never occupy — so its TTFA under a full bulk queue
+    # is ~the unloaded single-stream TTFA instead of a queue-for-slot wait
+    priority: bool = False
 
 
 @dataclass
@@ -201,6 +206,9 @@ class ServingEngine:
         frames_per_dispatch: Optional[int] = None,  # None -> opts.frames_per_dispatch
         pipeline: bool = True,
         mesh=None,  # jax.sharding.Mesh with a "tp" axis: TP-sharded serving
+        reserved_slots: int = 0,  # express slots only Request(priority=True)
+        # may occupy (throughput cost ≈ dropping to max_batch - reserved
+        # slots for bulk traffic; see bench_serving.py BENCH_PRIORITY)
         speech_bucket: int = 0,  # pad voice-clone waveforms to a multiple of
         # this many samples (0 = off). Prompt token lengths are already
         # bucketed (PROMPT_BUCKET), but every distinct voice-sample length is
@@ -302,7 +310,17 @@ class ServingEngine:
         # cancel finish) whose final window is still in flight: _drain must
         # fail these too on a device fault, or their consumers hang.
         self._retiring: List = []
-        self.pending: "queue.Queue[RequestHandle]" = queue.Queue()
+        if not (0 <= reserved_slots < max_batch):
+            raise ValueError(
+                f"reserved_slots must be in [0, max_batch); got {reserved_slots}"
+            )
+        self.reserved_slots = reserved_slots
+        # priority requests drain before bulk ones (FIFO within each class);
+        # entries are (0|1, seq, handle) — handles are not orderable
+        import itertools
+
+        self._submit_seq = itertools.count()
+        self.pending: "queue.PriorityQueue" = queue.PriorityQueue()
         # prefilled-but-not-yet-spliced requests; bounded so the prefill
         # worker can't pile up full-size batch-1 KV caches in HBM
         self.ready: "queue.Queue" = queue.Queue(maxsize=2)
@@ -370,7 +388,7 @@ class ServingEngine:
                 )
             )
             return handle
-        self.pending.put(handle)
+        self.pending.put((0 if request.priority else 1, next(self._submit_seq), handle))
         self._notify_state()
         if self._stop.is_set():
             # raced with shutdown or a worker-crash drain (ADVICE r4): the
@@ -380,7 +398,7 @@ class ServingEngine:
             # only adds a redundant end-sentinel, which consumers never reach.
             while True:
                 try:
-                    h = self.pending.get_nowait()
+                    h = self.pending.get_nowait()[2]
                     if not h._done.is_set():
                         h._finish(RuntimeError("engine is stopped"))
                     self.pending.task_done()
@@ -526,7 +544,7 @@ class ServingEngine:
             self._stop.set()
             while True:
                 try:
-                    self.pending.get_nowait()._finish(e)
+                    self.pending.get_nowait()[2]._finish(e)
                     self.pending.task_done()
                 except queue.Empty:
                     break
@@ -535,7 +553,7 @@ class ServingEngine:
     def _prefill_loop_inner(self):
         while not self._stop.is_set():
             try:
-                handle = self.pending.get(timeout=0.02)
+                handle = self.pending.get(timeout=0.02)[2]
             except queue.Empty:
                 continue
             # task_done only after the request is settled (finished, or put on
@@ -633,6 +651,12 @@ class ServingEngine:
                         if h.cancelled.is_set():
                             h._finish()
                             self.ready.task_done()
+                        elif h.request.priority:
+                            # a priority entry must reach the express slot even
+                            # when the staging list is full of bulk carries —
+                            # it is placed (and its HBM released) this _admit
+                            self._ready_local.append(item)
+                            self.ready.task_done()
                         else:
                             requeue.append(item)
                 except queue.Empty:
@@ -651,20 +675,33 @@ class ServingEngine:
             except queue.Empty:
                 break
         keep: List = []
-        for handle, single, max_steps in self._ready_local:
+        free = [i for i, h in enumerate(self.slots) if h is None]
+        # priority entries place first (stable within each class); bulk
+        # requests never occupy the first `reserved_slots` express slots
+        staged = sorted(
+            self._ready_local, key=lambda it: not it[0].request.priority
+        )
+        for handle, single, max_steps in staged:
             if handle._deadline_exceeded() and not handle.cancelled.is_set():
                 handle.deadline_expired = True
                 handle.cancel()
             if handle.cancelled.is_set():  # cancelled while queued
                 handle._finish()
-            elif any(h is None for h in self.slots):
-                slot = self.slots.index(None)
-                self.carry = _join_slot(self.carry, single, slot, self.max_batch)
-                self.slot_steps[slot] = 0
-                self.slot_max_steps[slot] = max_steps
-                self.slots[slot] = handle
+                continue
+            if handle.request.priority:
+                # prefer an express slot; fall back to any free one
+                slot = next((i for i in free if i < self.reserved_slots),
+                            free[0] if free else None)
             else:
+                slot = next((i for i in free if i >= self.reserved_slots), None)
+            if slot is None:
                 keep.append((handle, single, max_steps))
+                continue
+            free.remove(slot)
+            self.carry = _join_slot(self.carry, single, slot, self.max_batch)
+            self.slot_steps[slot] = 0
+            self.slot_max_steps[slot] = max_steps
+            self.slots[slot] = handle
         self._ready_local = keep
         self._notify_state()
 
@@ -764,7 +801,7 @@ class ServingEngine:
                 break
         while True:
             try:
-                self.pending.get_nowait()._finish(leftover)
+                self.pending.get_nowait()[2]._finish(leftover)
                 self.pending.task_done()
             except queue.Empty:
                 break
