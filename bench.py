@@ -346,9 +346,11 @@ def main():
             # multi-session real-time capacity: three points so the headline
             # metric (largest n meeting budget) degrades gracefully if the
             # box is contended during the record run — a single-point probe
-            # read 0 on a loaded host where the idle-box max is 24
+            # read 0 on a loaded host where the idle-box max is 48 (round 5:
+            # the 3-frame admission quantum moved the join-TTFA knee from 24
+            # to the 40-56 range; 16/24/32 all pass with >=90 ms margin)
             ("bench_streaming.py",
-             {"BENCH_SESSIONS": "1", "BENCH_SESSION_NS": "8,16,24"}, 240),
+             {"BENCH_SESSIONS": "1", "BENCH_SESSION_NS": "16,24,32"}, 240),
         ]
         for script, env_extra, min_s in stages:
             rem = remaining()

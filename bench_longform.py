@@ -11,8 +11,10 @@ negative-stream reset and conv-state reset bookkeeping are exercised at
 flash kernel's valid prefix grows), peak HBM when the backend reports it,
 and end-of-run bookkeeping invariants.
 
-Env: BENCH_MAX_LEN (default 65536), BENCH_PROMPT (8192), BENCH_SEGMENT
-(3000), BENCH_BF16=1, BENCH_KV_INT8 (default on — the auto policy at 64K).
+Env: BENCH_CONFIG=7b (the 7B @ 32K rehearsal: inline int8 LM + int8 KV — the
+reference's "~45 min" 7B claim, reference README.md:55), BENCH_MAX_LEN
+(default 65536; 32768 at 7B), BENCH_PROMPT (8192), BENCH_SEGMENT (3000),
+BENCH_BF16=1 (1.5b only), BENCH_KV_INT8 (default on — the auto policy).
 
 Prints one JSON headline line + a trajectory line.
 """
@@ -55,15 +57,24 @@ def main():
     from vibevoice_tpu.models import inference as inf
     from vibevoice_tpu.models import vibevoice as vv
 
-    max_len = int(os.environ.get("BENCH_MAX_LEN", "65536"))
+    model = os.environ.get("BENCH_CONFIG", "1.5b")  # "1.5b" | "7b"
+    max_len = int(
+        os.environ.get("BENCH_MAX_LEN", "32768" if model == "7b" else "65536")
+    )
     prompt_len = int(os.environ.get("BENCH_PROMPT", "8192"))
     segment = int(os.environ.get("BENCH_SEGMENT", "3000"))
     use_int8 = os.environ.get("BENCH_BF16") != "1"
     kv_int8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
 
-    cfg, params = _load("qwen2.5_1.5b_64k.json")
-    if use_int8:
-        params = vv.quantize_for_inference(params)
+    if model == "7b":
+        if not use_int8:
+            raise SystemExit("BENCH_CONFIG=7b requires int8 (bf16 7B LM is ~14 GB)")
+        # inline int8 init: the 7B bf16 LM must never materialize on 16 GB
+        cfg, params = _load("qwen2.5_7b_32k.json", lm_int8_inline=True)
+    else:
+        cfg, params = _load("qwen2.5_1.5b_64k.json")
+        if use_int8:
+            params = vv.quantize_for_inference(params)
     if os.environ.get("BENCH_NO_FUSE") != "1":
         params = vv.fuse_for_serving(params, cfg, quantize=use_int8)
 
@@ -160,7 +171,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"RTF_1.5B_longform_full{max_len // 1024}k_e2e{suffix}",
+                "metric": f"RTF_{model.upper()}_longform_full{max_len // 1024}k_e2e{suffix}",
                 "value": round(rtf, 4),
                 "unit": "audio-sec/wall-sec/chip",
                 "vs_baseline": round(rtf / 5.0, 4),
