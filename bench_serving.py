@@ -166,22 +166,39 @@ def main():
         pri_ttfa, pri_handles = {}, []
         if reserved:
             # 3 staggered priority arrivals while the bulk queue is full: the
-            # latency-lane claim is their TTFA under load, not in isolation
-            for j in range(3):
-                time.sleep(2.0)
-                hp = eng.submit(make_request(1000 + j, priority=True))
-                wp = threading.Thread(
-                    target=consume, args=(f"p{j}", hp, time.perf_counter()),
-                    daemon=True,
-                )
-                wp.start()
-                pri_handles.append(hp)
-                watchers.append(wp)
+            # latency-lane claim is their TTFA under load, not in isolation.
+            # Submitted from their own thread so the 2 s staggers never sit
+            # in the bulk-wall measurement (an earlier version slept on the
+            # main thread before result collection and billed ~6 s of sleep
+            # as serving time).
+            def submit_priority():
+                for j in range(3):
+                    time.sleep(2.0)
+                    hp = eng.submit(make_request(1000 + j, priority=True))
+                    wp = threading.Thread(
+                        target=consume, args=(f"p{j}", hp, time.perf_counter()),
+                        daemon=True,
+                    )
+                    wp.start()
+                    pri_handles.append(hp)
+                    watchers.append(wp)
+
+            pt = threading.Thread(target=submit_priority, daemon=True)
+            pt.start()
+        # In priority mode the aggregate is computed over the BULK requests
+        # only (t0 -> last bulk completion): the priority streams share the
+        # device, so their cost shows up in the bulk wall — but the 2 s
+        # arrival staggers must not be billed as serving time (they sit
+        # inside the window while bulk decode proceeds underneath).
         total_samples = 0
-        for h in handles + pri_handles:
+        for h in handles:
             audio = h.result(timeout=1800)
             total_samples += len(audio)
         wall = time.perf_counter() - t0
+        if reserved:
+            pt.join(timeout=60)
+        for hp in pri_handles:
+            hp.result(timeout=1800)
         for w in watchers:
             w.join(timeout=10)
         if reserved:
