@@ -118,6 +118,34 @@ def test_concurrent_sessions_match_solo(params, presets):
     assert h1.ttfa_ms is not None and h2.ttfa_ms is not None
 
 
+@pytest.mark.parametrize("quantum", [6, 1])
+def test_quantum_variants_match_solo(params, presets, quantum):
+    """The admission quantum (default 3, covered by every other test here)
+    only changes host dispatch cadence: quantum=6 (the round-4 one-dispatch-
+    per-window loop) and quantum=1 (finest admission) must both reproduce
+    the solo run exactly."""
+    p1, _ = presets
+    t = np.random.RandomState(20).randint(10, 200, (11,))
+    b = _bank(60)
+    ref = _solo(params, p1, t, b)
+    eng = StreamingSessionEngine(
+        CFG, params, n_slots=2, max_len=256, opts=OPTS, inject=True,
+        quantum=quantum,
+    )
+    try:
+        got = eng.submit(t, p1, noise_bank=b).result(timeout=120)
+    finally:
+        eng.shutdown(drain=False)
+    _assert_audio_match(got, ref)
+
+
+def test_quantum_must_divide_window(params, presets):
+    with pytest.raises(ValueError, match="quantum"):
+        StreamingSessionEngine(
+            CFG, params, n_slots=1, max_len=256, opts=OPTS, quantum=4,
+        )
+
+
 @pytest.mark.slow
 def test_staggered_admit_matches_solo(params, presets):
     """A session admitted while another is mid-stream still reproduces its
