@@ -166,6 +166,7 @@ def build_server(args):
             ),
             default_preset=rt.preset,
             processor=rt.processor,
+            quantum=getattr(args, "rt_quantum", 3),
         )
     if rt is not None and getattr(args, "warmup", False):
         if rt_engine is not None:
@@ -438,6 +439,9 @@ def main():
                     help="concurrent /tts/rt sessions batched into ONE device "
                     "program (>1 enables the multi-session engine; the "
                     "reference streaming model is capped at batch 1)")
+    ap.add_argument("--rt_quantum", type=int, default=3,
+                    help="session admission quantum in frames (divisor of 6; "
+                    "3 = low join-TTFA default, 6 = max-throughput windows)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile prefill/splice/decode at startup so the "
                          "first request never pays the first-shape compile")

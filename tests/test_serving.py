@@ -590,6 +590,12 @@ def test_priority_lane_express_slot():
         for h in bulk:
             h.result(timeout=300)
         assert all(h.rec["outcome"] == "completed" for h in bulk + [hp])
+        st = eng.stats()
+        assert st.priority_submitted == 1
+        # tiny random weights may emit zero diffusion frames for this prompt;
+        # the TTFA split is only defined once first audio was delivered
+        if hp.first_audio_time is not None:
+            assert st.priority_ttfa_p50_ms is not None
     finally:
         eng.shutdown()
 

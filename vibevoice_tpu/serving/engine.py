@@ -124,6 +124,10 @@ class EngineStats:
     ttfa_p50_ms: Optional[float]  # over the last 256 finished-first-audio requests
     ttfa_p95_ms: Optional[float]
     uptime_s: float
+    # latency-lane split (None when no priority traffic was seen): operators
+    # watch this to verify the express lane is delivering its SLO
+    priority_ttfa_p50_ms: Optional[float] = None
+    priority_submitted: int = 0
 
 
 class RequestHandle:
@@ -141,7 +145,8 @@ class RequestHandle:
         self.deadline_expired = False
         # scalar observability record the engine keeps after this handle is
         # gone (stats() must not pin request audio in host RAM)
-        self.rec = {"submit": self.submit_time, "ttfa_ms": None, "outcome": None}
+        self.rec = {"submit": self.submit_time, "ttfa_ms": None, "outcome": None,
+                    "priority": request.priority}
 
     def _deadline_exceeded(self) -> bool:
         d = self.request.deadline_s
@@ -485,6 +490,10 @@ class ServingEngine:
         queued = submitted - completed - failed - cancelled - expired - active
         ttfa = sorted(ttfa[-256:])
         pct = lambda q: ttfa[min(len(ttfa) - 1, int(q * len(ttfa)))] if ttfa else None
+        pri = sorted(
+            r["ttfa_ms"] for r in recs
+            if r.get("priority") and r["ttfa_ms"] is not None
+        )[-256:]
         return EngineStats(
             submitted=submitted,
             completed=completed,
@@ -498,6 +507,8 @@ class ServingEngine:
             ttfa_p50_ms=pct(0.50),
             ttfa_p95_ms=pct(0.95),
             uptime_s=time.monotonic() - self._start_time,
+            priority_ttfa_p50_ms=(pri[len(pri) // 2] if pri else None),
+            priority_submitted=sum(bool(r.get("priority")) for r in recs),
         )
 
     def shutdown(self, timeout: float = 30.0, drain: bool = False):
