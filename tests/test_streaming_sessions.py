@@ -139,6 +139,40 @@ def test_quantum_variants_match_solo(params, presets, quantum):
     _assert_audio_match(got, ref)
 
 
+def test_kv_int8_sessions_match_solo_int8(params, presets):
+    """int8-KV multi-session (the long-context memory knob): the admit
+    splice quantizes preset rows with the same rounding as the solo
+    init_stream_state path, decode quantizes-on-write — a batched session
+    must reproduce its solo batch-1 int8 run."""
+    p1, p2 = presets
+    opts8 = GenerateOptions(cfg_scale=1.5, ddpm_steps=3, kv_int8=True)
+    t1 = np.random.RandomState(30).randint(10, 200, (9,))
+    t2 = np.random.RandomState(31).randint(10, 200, (13,))
+    b1, b2 = _bank(70), _bank(71)
+
+    def solo8(preset, text, bank):
+        out = st.generate(
+            CFG, params, tts_text_ids=np.asarray(text).reshape(1, -1),
+            preset=preset, opts=opts8, max_len=256, seed=0, noise_bank=bank,
+        )
+        return out.speech_outputs[0]
+
+    ref1, ref2 = solo8(p1, t1, b1), solo8(p2, t2, b2)
+    eng = StreamingSessionEngine(
+        CFG, params, n_slots=2, max_len=256, opts=opts8, inject=True
+    )
+    try:
+        assert eng._state.tts_cache.quantized  # int8 actually in effect
+        h1 = eng.submit(t1, p1, noise_bank=b1)
+        h2 = eng.submit(t2, p2, noise_bank=b2)
+        got1 = h1.result(timeout=120)
+        got2 = h2.result(timeout=120)
+    finally:
+        eng.shutdown(drain=False)
+    _assert_audio_match(got1, ref1)
+    _assert_audio_match(got2, ref2)
+
+
 def test_quantum_must_divide_window(params, presets):
     with pytest.raises(ValueError, match="quantum"):
         StreamingSessionEngine(

@@ -206,16 +206,20 @@ def init_stream_state(
 
 
 def init_session_state(
-    cfg: VibeVoiceStreamingConfig, params: Params, batch: int, max_len: int
+    cfg: VibeVoiceStreamingConfig, params: Params, batch: int, max_len: int,
+    kv_int8: bool = False,
 ) -> StreamState:
     """Empty multi-session state: `batch` slots, all finished (inactive).
-    Sessions are spliced in per-slot via `admit_session`."""
+    Sessions are spliced in per-slot via `admit_session`. kv_int8 halves KV
+    HBM (per-row scales, quantize-on-write in qwen2.forward) — the
+    long-context / high-slot-count memory knob: 3 caches x batch x max_len
+    lane-padded bf16 rows are what bound sessions-per-chip at max_len >=8K."""
     dtype = params["language_model"]["embed"].dtype
     h = cfg.decoder_config.hidden_size
     return StreamState(
-        lm_cache=qwen2.make_cache(_lower_cfg(cfg), batch, max_len, dtype),
-        tts_cache=qwen2.make_cache(_upper_cfg(cfg), batch, max_len, dtype),
-        neg_tts_cache=qwen2.make_cache(_upper_cfg(cfg), batch, max_len, dtype),
+        lm_cache=qwen2.make_cache(_lower_cfg(cfg), batch, max_len, dtype, quantized=kv_int8),
+        tts_cache=qwen2.make_cache(_upper_cfg(cfg), batch, max_len, dtype, quantized=kv_int8),
+        neg_tts_cache=qwen2.make_cache(_upper_cfg(cfg), batch, max_len, dtype, quantized=kv_int8),
         dec_state=tok.init_decoder_state(cfg.acoustic_tokenizer_config, batch, dtype),
         tts_h=jnp.zeros((batch, h), dtype),
         neg_tts_h=jnp.zeros((batch, h), dtype),
@@ -278,7 +282,29 @@ def admit_session(
     (valid-prefix attention)."""
 
     def put_cache(cache: qwen2.KVCache, k_new, v_new, ln):
-        assert not cache.quantized, "multi-session admit: int8 KV not supported"
+        if cache.quantized:
+            # quantize the preset rows into the slot (same per-(head, token)
+            # row scales as quantize-on-write in qwen2.forward); lane-padding
+            # zero rows get scale 0 and dequantize to zero
+            ks, kss, vs, vss = [], [], [], []
+            for bufs, sbufs, out, outs, x in (
+                (cache.k, cache.k_scale, ks, kss, k_new),
+                (cache.v, cache.v_scale, vs, vss, v_new),
+            ):
+                for i, (c, sc) in enumerate(zip(bufs, sbufs)):
+                    q, s = qwen2.quantize_kv_rows(x[i].astype(jnp.float32))
+                    out.append(
+                        jax.lax.dynamic_update_slice(c, q[None], (slot, 0, 0, 0))
+                    )
+                    outs.append(
+                        jax.lax.dynamic_update_slice(
+                            sc, s[None, :, None, :], (slot, 0, 0, 0)
+                        )
+                    )
+            return cache._replace(
+                k=tuple(ks), v=tuple(vs), k_scale=tuple(kss), v_scale=tuple(vss),
+                length=cache.length.at[slot].set(ln),
+            )
         ks = tuple(
             jax.lax.dynamic_update_slice(c, k_new[i][None].astype(c.dtype), (slot, 0, 0, 0))
             for i, c in enumerate(cache.k)

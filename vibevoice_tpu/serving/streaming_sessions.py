@@ -125,8 +125,9 @@ class StreamingSessionEngine:
         queue and join as slots free).
       max_len: per-slot KV capacity (window cadence stops a session before
         its caches would clamp-write, mirroring streaming.generate).
-      opts: GenerateOptions (cfg_scale/ddpm_steps/sde). kv_int8 must resolve
-        off — multi-session admit splices bf16 rows (short-context serving).
+      opts: GenerateOptions (cfg_scale/ddpm_steps/sde). kv_int8 (tri-state:
+        None = auto vs max_len) halves per-slot KV HBM — the long-context /
+        high-slot-count memory knob; admit quantizes preset rows in-kernel.
       default_preset: voice used when submit() gets none.
       inject: test mode — every submit must carry a noise_bank
         ({"init": (E, 1, D)[, "sde": (E, S, 1, D)]}, same schema as
@@ -156,12 +157,12 @@ class StreamingSessionEngine:
         self.n_slots = n_slots
         self.max_len = max_len
         opts = opts or GenerateOptions(cfg_scale=1.5, ddpm_steps=5)
+        # tri-state auto policy vs THIS engine's per-slot capacity: int8 KV
+        # (admit quantizes preset rows in-kernel, decode quantizes-on-write)
+        # halves the 3 lane-padded caches that bound sessions-per-chip at
+        # long max_len; short-context serving stays bf16 (quantize-on-write
+        # costs ~10-25% TTFA at low fill, round-3 ledger)
         opts = resolve_kv_int8(opts, max_len)
-        if opts.kv_int8:
-            raise NotImplementedError(
-                "multi-session streaming admits bf16 KV rows; run with "
-                "kv_int8=False (short-context serving) or batch 1"
-            )
         self.opts = opts
         self.inject = inject
         self.processor = processor
@@ -181,7 +182,9 @@ class StreamingSessionEngine:
 
         self._text_fn, self._speech_fn = st.make_session_fns(cfg, opts, inject, quantum=quantum)
         self._admit_fn = jax.jit(st.admit_session, donate_argnums=(0,), static_argnums=())
-        self._state = st.init_session_state(cfg, params, n_slots, max_len)
+        self._state = st.init_session_state(
+            cfg, params, n_slots, max_len, kv_int8=bool(opts.kv_int8)
+        )
         self._lane = self._state.tts_cache.k[0].shape[-1]
         self._key = jax.random.PRNGKey(seed)
         self._vae_dim = cfg.acoustic_vae_dim
@@ -250,6 +253,11 @@ class StreamingSessionEngine:
             preset, self._lane, self.preset_bucket, max_len=self.max_len
         )
         dt = self._state.tts_cache.k[0].dtype
+        if dt == jnp.int8:
+            # int8 KV: the admit splice quantizes f32 rows in-kernel with the
+            # same rounding as the solo init_stream_state path — keep the
+            # host arrays f32 (a bf16 pre-cast would perturb the int8 LSBs)
+            dt = jnp.float32
         dev = {}
         for k, v in host.items():
             arr = np.asarray(v)
