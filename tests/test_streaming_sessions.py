@@ -118,7 +118,9 @@ def test_concurrent_sessions_match_solo(params, presets):
     assert h1.ttfa_ms is not None and h2.ttfa_ms is not None
 
 
-@pytest.mark.parametrize("quantum", [6, 1])
+@pytest.mark.parametrize(
+    "quantum", [6, pytest.param(1, marks=pytest.mark.slow)]
+)
 def test_quantum_variants_match_solo(params, presets, quantum):
     """The admission quantum (default 3, covered by every other test here)
     only changes host dispatch cadence: quantum=6 (the round-4 one-dispatch-
@@ -139,6 +141,7 @@ def test_quantum_variants_match_solo(params, presets, quantum):
     _assert_audio_match(got, ref)
 
 
+@pytest.mark.slow
 def test_kv_int8_sessions_match_solo_int8(params, presets):
     """int8-KV multi-session (the long-context memory knob): the admit
     splice quantizes preset rows with the same rounding as the solo

@@ -8,7 +8,7 @@ model, generation engines) -> processor (prompt/audio front-end) -> streamer
 (delivery) -> parallel (mesh sharding) -> finetune (training).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from . import configs
 from .configs import (
