@@ -106,7 +106,10 @@ def sessions_sweep():
     params = st.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if os.environ.get("BENCH_NO_FUSE") != "1":
         params = st.fuse_vocoder(params, cfg, quantize=True)
-    opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=5, kv_int8=False)
+    # BENCH_SESSION_KV8=1: int8 KV caches (the long-context memory knob;
+    # costs quantize-on-write latency at short fills — not the default)
+    kv8 = os.environ.get("BENCH_SESSION_KV8") == "1"
+    opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=5, kv_int8=kv8)
     prompt = np.random.RandomState(0).randint(10, 1000, (1, 64))
     preset = st.build_voice_preset(cfg, params, prompt, neg_prompt_id=151655, max_len=2048)
 
@@ -151,7 +154,7 @@ def sessions_sweep():
                               window_p95_ms=round(w_p95 * 1e3, 1),
                               ttfa_p50_ms=round(t_p50, 1), ttfa_p95_ms=round(t_p95, 1),
                               realtime=bool(rt_ok)))
-            print(json.dumps({"metric": f"streaming_sessions_n{n}",
+            print(json.dumps({"metric": f"streaming_sessions_n{n}" + ("_kv8" if kv8 else ""),
                               "value": round(w_p95 * 1e3, 1), "unit": "ms_window_p95",
                               "quantum_frames": quantum,
                               "budget_ms": round(budget_s * 1e3, 1),
