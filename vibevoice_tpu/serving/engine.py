@@ -662,10 +662,18 @@ class ServingEngine:
                         if h.cancelled.is_set():
                             h._finish()
                             self.ready.task_done()
-                        elif h.request.priority:
+                        elif h.request.priority and (
+                            sum(
+                                1 for it in self._ready_local
+                                if it[0].request.priority
+                            ) < max(1, self.reserved_slots)
+                        ):
                             # a priority entry must reach the express slot even
                             # when the staging list is full of bulk carries —
-                            # it is placed (and its HBM released) this _admit
+                            # it is placed (and its HBM released) this _admit.
+                            # Bounded by the express-slot count: a priority
+                            # BURST must not pile unbounded prefill carries
+                            # (each is a full batch-2 x max_len cache) in HBM.
                             self._ready_local.append(item)
                             self.ready.task_done()
                         else:
