@@ -191,7 +191,10 @@ def build_server(args):
             elif self.path == "/stats":
                 import dataclasses
 
-                body = json.dumps(dataclasses.asdict(engine.stats())).encode()
+                payload = dataclasses.asdict(engine.stats())
+                if rt_engine is not None:
+                    payload["rt_sessions"] = rt_engine.stats()
+                body = json.dumps(payload).encode()
             else:
                 self.send_error(404)
                 return

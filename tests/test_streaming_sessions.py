@@ -116,6 +116,10 @@ def test_concurrent_sessions_match_solo(params, presets):
     _assert_audio_match(got1, ref1)
     _assert_audio_match(got2, ref2)
     assert h1.ttfa_ms is not None and h2.ttfa_ms is not None
+    st_snap = eng.stats()
+    assert st_snap["submitted"] == 2 and st_snap["completed"] == 2
+    assert st_snap["ttfa_p50_ms"] is not None and st_snap["windows_run"] >= 1
+    assert st_snap["frames_emitted"] == (len(got1) + len(got2)) // HOP
 
 
 @pytest.mark.parametrize(

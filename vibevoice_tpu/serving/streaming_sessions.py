@@ -61,6 +61,9 @@ class StreamSessionHandle:
         self.submitted_t = time.monotonic()
         self.first_audio_t: Optional[float] = None
         self.n_frames = 0
+        # scalar observability record the engine keeps after the handle is
+        # gone (stats() must not pin session audio in host RAM)
+        self.rec = {"ttfa_ms": None, "frames": 0, "outcome": None}
 
     # -- consumer side ------------------------------------------------------
 
@@ -97,11 +100,18 @@ class StreamSessionHandle:
     def _push(self, frame: np.ndarray) -> None:
         if self.first_audio_t is None:
             self.first_audio_t = time.monotonic()
+            self.rec["ttfa_ms"] = self.ttfa_ms
         self.n_frames += 1
+        self.rec["frames"] = self.n_frames
         self.q.put(frame)
 
     def _finish(self, error: Optional[BaseException] = None) -> None:
         self.error = error
+        self.rec["outcome"] = (
+            "failed" if error is not None
+            else "cancelled" if self.cancelled.is_set()
+            else "completed"
+        )
         self.done.set()
         self.q.put(None)
 
@@ -205,6 +215,10 @@ class StreamingSessionEngine:
         self.windows_run = 0
         self.last_window_s: Optional[float] = None
         self.window_times: List[float] = []  # recent window wall times (bench)
+        import collections
+
+        self._recs: "collections.deque" = collections.deque(maxlen=2048)
+        self._recs_lock = threading.Lock()
         self.ignore_eos = ignore_eos  # bench/testing: random-weight EOS noise
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -232,6 +246,8 @@ class StreamingSessionEngine:
         h = StreamSessionHandle(
             text_ids, admit_kwargs, noise_bank=noise_bank, max_new_frames=max_new_frames
         )
+        with self._recs_lock:
+            self._recs.append(h.rec)
         # capacity bookkeeping mirrors streaming.generate:438
         h._max_steps = self.max_len - tts_len
         self.pending.put(h)
@@ -471,6 +487,33 @@ class StreamingSessionEngine:
 
     def active_sessions(self) -> int:
         return sum(s is not None for s in self.slots)
+
+    def stats(self) -> Dict:
+        """Observability snapshot (JSON-ready; the rt-engine analog of
+        ServingEngine.stats): session outcomes, join-TTFA percentiles, and
+        recent dispatch-quantum wall times against the real-time budget."""
+        with self._recs_lock:
+            recs = list(self._recs)
+        ttfa = sorted(r["ttfa_ms"] for r in recs if r["ttfa_ms"] is not None)[-256:]
+        wt = sorted(self.window_times[-512:])
+        pct = lambda xs, q: (xs[min(len(xs) - 1, int(q * len(xs)))] if xs else None)
+        return {
+            "n_slots": self.n_slots,
+            "quantum_frames": self.quantum,
+            "active": self.active_sessions(),
+            "queued": self.pending.qsize(),
+            "submitted": len(recs),
+            "completed": sum(r["outcome"] == "completed" for r in recs),
+            "failed": sum(r["outcome"] == "failed" for r in recs),
+            "cancelled": sum(r["outcome"] == "cancelled" for r in recs),
+            "windows_run": self.windows_run,
+            "window_p50_ms": round(pct(wt, 0.50) * 1e3, 1) if wt else None,
+            "window_p95_ms": round(pct(wt, 0.95) * 1e3, 1) if wt else None,
+            "window_budget_ms": round(self.quantum * 3200 / 24.0, 1),
+            "ttfa_p50_ms": round(pct(ttfa, 0.50), 1) if ttfa else None,
+            "ttfa_p95_ms": round(pct(ttfa, 0.95), 1) if ttfa else None,
+            "frames_emitted": sum(r["frames"] for r in recs),
+        }
 
     def shutdown(self, drain: bool = True, timeout: float = 120.0) -> None:
         self._draining = True
