@@ -372,6 +372,14 @@ def test_http_concurrent_rt_streams():
             assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
             assert len(wav) > 44 and len(wav[44:]) % 2 == 0
         assert server.rt_engine.windows_run >= 1
+        # /stats carries the session-engine observability section
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/stats")
+        st_body = json.loads(conn.getresponse().read())
+        conn.close()
+        rt_st = st_body["rt_sessions"]
+        assert rt_st["n_slots"] == 2 and rt_st["submitted"] >= 2
+        assert rt_st["windows_run"] >= 1
     finally:
         server.shutdown()
         server.engine.shutdown()
