@@ -167,6 +167,7 @@ def build_server(args):
             default_preset=rt.preset,
             processor=rt.processor,
             quantum=getattr(args, "rt_quantum", 3),
+            reserved_slots=getattr(args, "rt_reserved_slots", 0),
         )
     if rt is not None and getattr(args, "warmup", False):
         if rt_engine is not None:
@@ -263,7 +264,7 @@ def build_server(args):
                 if rt is None:
                     self.send_error(404, "server started without --streaming_model_path")
                     return
-                self._rt_response(text, seed)
+                self._rt_response(text, seed, priority=priority)
                 return
 
             try:
@@ -323,7 +324,7 @@ def build_server(args):
             self.wfile.write(wav_header(SAMPLE_RATE, len(pcm) // 2))
             self.wfile.write(pcm)
 
-        def _rt_response(self, text: str, seed: int):
+        def _rt_response(self, text: str, seed: int, priority: bool = False):
             """Chunked-transfer WAV from the 0.5B streaming model, frames
             flushed as the window loop produces them — the lowest-TTFA
             serving surface. With --rt_sessions > 1, concurrent requests are
@@ -331,7 +332,7 @@ def build_server(args):
             shared loop RNG, not a per-session stream); otherwise one request
             at a time (StreamingTTS serializes internally)."""
             if rt_engine is not None:
-                handle = rt_engine.submit_text(text)
+                handle = rt_engine.submit_text(text, priority=priority)
                 it = handle.frames(timeout=args.request_timeout)
                 close = handle.cancel
             else:
@@ -445,6 +446,10 @@ def main():
     ap.add_argument("--rt_quantum", type=int, default=3,
                     help="session admission quantum in frames (divisor of 6; "
                     "3 = low join-TTFA default, 6 = max-throughput windows)")
+    ap.add_argument("--rt_reserved_slots", type=int, default=0,
+                    help="express session slots only priority=true requests "
+                    "may occupy (sessions are long-lived: without a reserve, "
+                    "a full house makes new listeners wait for a hang-up)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile prefill/splice/decode at startup so the "
                          "first request never pays the first-shape compile")

@@ -180,6 +180,52 @@ def test_kv_int8_sessions_match_solo_int8(params, presets):
     _assert_audio_match(got2, ref2)
 
 
+def test_session_priority_express_slot(params, presets):
+    """Sessions are long-lived: with every bulk slot busy, a new listener
+    waits for a hang-up. reserved_slots keeps express slots only
+    submit(priority=True) may take — the priority session starts while bulk
+    sessions are still queued. (ignore_eos + frame caps give deterministic
+    lifetimes: random tiny weights EOS within 1-2 frames otherwise; the
+    priority path's solo fidelity is covered by the other inject tests.)"""
+    p1, _ = presets
+    long_t = np.random.RandomState(40).randint(10, 200, (60,))
+    pri_t = np.random.RandomState(41).randint(10, 200, (6,))
+
+    eng = StreamingSessionEngine(
+        CFG, params, n_slots=2, max_len=512, opts=OPTS, inject=True,
+        reserved_slots=1, ignore_eos=True,
+    )
+    try:
+        # two long bulk sessions: one occupies the single bulk slot, the
+        # second queues; the express slot must stay empty
+        hb1 = eng.submit(long_t, p1, noise_bank=_bank(80, 300), max_new_frames=90)
+        hb2 = eng.submit(long_t, p1, noise_bank=_bank(82, 300), max_new_frames=90)
+        next(hb1.frames(timeout=120))
+        assert eng.slots[0] is None, "express slot must never hold bulk work"
+        assert eng.slots[1] is not None and eng.slots[1].handle is hb1
+
+        hp = eng.submit(
+            pri_t, p1, noise_bank=_bank(81), priority=True, max_new_frames=6
+        )
+        got = hp.result(timeout=120)
+        assert len(got) > 0 and hp.first_audio_t is not None
+        # the queued bulk session must not have started before the priority
+        # one (bulk slot is still held by hb1's 90-frame run)
+        assert hb2.first_audio_t is None or hb2.first_audio_t > hp.first_audio_t
+        hb1.cancel()
+        hb2.cancel()
+        assert hb1.done.wait(60) and hb2.done.wait(60)
+    finally:
+        eng.shutdown(drain=False)
+
+
+def test_session_reserved_slots_validation(params):
+    with pytest.raises(ValueError, match="reserved_slots"):
+        StreamingSessionEngine(
+            CFG, params, n_slots=2, max_len=256, opts=OPTS, reserved_slots=2,
+        )
+
+
 def test_quantum_must_divide_window(params, presets):
     with pytest.raises(ValueError, match="quantum"):
         StreamingSessionEngine(

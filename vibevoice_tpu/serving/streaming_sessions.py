@@ -61,6 +61,7 @@ class StreamSessionHandle:
         self.submitted_t = time.monotonic()
         self.first_audio_t: Optional[float] = None
         self.n_frames = 0
+        self.priority = False  # set by engine.submit(priority=True)
         # scalar observability record the engine keeps after the handle is
         # gone (stats() must not pin session audio in host RAM)
         self.rec = {"ttfa_ms": None, "frames": 0, "outcome": None}
@@ -161,6 +162,7 @@ class StreamingSessionEngine:
         idle_poll_s: float = 0.05,
         ignore_eos: bool = False,
         quantum: int = 3,
+        reserved_slots: int = 0,
     ):
         self.cfg = cfg
         self.params = params
@@ -189,6 +191,15 @@ class StreamingSessionEngine:
         # capped round-4 capacity at 24 sessions. quantum=6 restores the
         # one-dispatch-per-window loop (max throughput, slower joins).
         self.quantum = quantum
+        # express session slots (same latency-lane semantics as
+        # ServingEngine.reserved_slots): sessions are LONG-lived, so with
+        # every slot busy a new listener waits for someone to hang up —
+        # priority sessions instead take a reserved slot immediately
+        if not (0 <= reserved_slots < n_slots):
+            raise ValueError(
+                f"reserved_slots must be in [0, n_slots); got {reserved_slots}"
+            )
+        self.reserved_slots = reserved_slots
 
         self._text_fn, self._speech_fn = st.make_session_fns(cfg, opts, inject, quantum=quantum)
         self._admit_fn = jax.jit(st.admit_session, donate_argnums=(0,), static_argnums=())
@@ -208,7 +219,12 @@ class StreamingSessionEngine:
         self._preset_cache: Dict[int, tuple] = {}
 
         self.slots: List[Optional[_Slot]] = [None] * n_slots
-        self.pending: "queue.Queue[StreamSessionHandle]" = queue.Queue()
+        # (0|1, seq, handle): priority sessions admit before bulk ones
+        # (FIFO within each class; handles are not orderable)
+        import itertools
+
+        self._submit_seq = itertools.count()
+        self.pending: "queue.PriorityQueue" = queue.PriorityQueue()
         self._cv = threading.Condition()
         self._running = True
         self._draining = False
@@ -234,6 +250,7 @@ class StreamingSessionEngine:
         *,
         noise_bank=None,
         max_new_frames: Optional[int] = None,
+        priority: bool = False,
     ) -> StreamSessionHandle:
         if self._draining or not self._running:
             raise RuntimeError("engine is draining")
@@ -246,11 +263,12 @@ class StreamingSessionEngine:
         h = StreamSessionHandle(
             text_ids, admit_kwargs, noise_bank=noise_bank, max_new_frames=max_new_frames
         )
+        h.priority = priority
         with self._recs_lock:
             self._recs.append(h.rec)
         # capacity bookkeeping mirrors streaming.generate:438
         h._max_steps = self.max_len - tts_len
-        self.pending.put(h)
+        self.pending.put((0 if priority else 1, next(self._submit_seq), h))
         with self._cv:
             self._cv.notify_all()
         return h
@@ -299,16 +317,25 @@ class StreamingSessionEngine:
     # ------------------------------------------------------------------
 
     def _admit_pending(self) -> None:
-        for b in range(self.n_slots):
-            if self.slots[b] is not None:
-                continue
+        free = [b for b in range(self.n_slots) if self.slots[b] is None]
+        while free:
             try:
-                h = self.pending.get_nowait()
+                cls, _seq, h = self.pending.get_nowait()
             except queue.Empty:
                 return
             if h.cancelled.is_set():
                 h._finish()
                 continue
+            if cls == 0:  # priority: prefer an express slot, else any free
+                b = next((x for x in free if x < self.reserved_slots), free[0])
+            else:
+                # bulk never occupies express slots; the PriorityQueue head
+                # being bulk means no priority session is queued behind it
+                b = next((x for x in free if x >= self.reserved_slots), None)
+                if b is None:
+                    self.pending.put((cls, _seq, h))
+                    return
+            free.remove(b)
             try:
                 self._state = self._admit_fn(self._state, b, **{
                     k: v for k, v in h.admit_kwargs.items()
@@ -317,6 +344,7 @@ class StreamingSessionEngine:
                 # a bad preset must fail ITS handle, not hang the waiter or
                 # kill the loop for the resident sessions
                 h._finish(e)
+                free.append(b)
                 continue
             self.slots[b] = _Slot(handle=h, max_steps=h._max_steps)
 
@@ -437,7 +465,7 @@ class StreamingSessionEngine:
             # drain epilogue: anything still queued is refused
             while True:
                 try:
-                    self.pending.get_nowait()._finish(
+                    self.pending.get_nowait()[2]._finish(
                         RuntimeError("engine shut down before the session started")
                     )
                 except queue.Empty:
@@ -449,7 +477,7 @@ class StreamingSessionEngine:
                     self.slots[b] = None
             while True:
                 try:
-                    self.pending.get_nowait()._finish(e)
+                    self.pending.get_nowait()[2]._finish(e)
                 except queue.Empty:
                     break
             if self._running:
