@@ -351,6 +351,13 @@ def main():
             # to the 40-56 range; 16/24/32 all pass with >=90 ms margin)
             ("bench_streaming.py",
              {"BENCH_SESSIONS": "1", "BENCH_SESSION_NS": "16,24,32"}, 240),
+            # 16-slot steady state (one wave of 512-frame streams, no
+            # turnover): the throughput record — 107x measured, 80% of the
+            # raw bs16 step. LAST: if the driver's external timeout clips
+            # the run, only this line is lost (everything above is flushed).
+            ("bench_serving.py",
+             {"BENCH_SLOTS": "16", "BENCH_REQS": "16", "BENCH_FRAMES": "512"},
+             300),
         ]
         for script, env_extra, min_s in stages:
             rem = remaining()

@@ -67,7 +67,9 @@ def _fake_main_env(monkeypatch, sub_lines):
     monkeypatch.setattr(compile_cache, "enable", lambda: None)
 
     def fake_sub(script, env_extra, timeout):
-        key = (script, "sessions" if env_extra.get("BENCH_SESSIONS") else "")
+        tag = ("sessions" if env_extra.get("BENCH_SESSIONS")
+               else "steady" if env_extra.get("BENCH_FRAMES") else "")
+        key = (script, tag)
         order.append(key)
         return sub_lines.get(key, [])
 
@@ -94,12 +96,15 @@ def test_suite_order_and_full_record(monkeypatch, capsys):
             {"metric": "serving_aggregate_rtf_8slots", "value": 78.0, "unit": "x"}],
         ("bench_streaming.py", "sessions"): [
             {"metric": "streaming_realtime_sessions_max", "value": 24, "unit": "n"}],
+        ("bench_serving.py", "steady"): [
+            {"metric": "SERVE_1.5B_16slot_steady", "value": 107.0, "unit": "x"}],
     }
     order = _fake_main_env(monkeypatch, sub)
     bench.main()
     lines = _emitted(capsys)
     metrics = [l["metric"] for l in lines]
-    # headline first, then bs4, longform; serving BEFORE the session sweep
+    # headline first, then bs4, longform; serving BEFORE the session sweep;
+    # the 16-slot steady-state line LAST (clip casualty by design)
     assert metrics[0] == "RTF_1.5B_decode_bs1"
     assert metrics[1] == "RTF_1.5B_decode_bs4"
     assert metrics[2].startswith("RTF_1.5B_longform_8192tok_prompt_65536cache")
@@ -107,11 +112,13 @@ def test_suite_order_and_full_record(monkeypatch, capsys):
         "TTFA_streaming_0.5B_p50",
         "serving_aggregate_rtf_8slots",
         "streaming_realtime_sessions_max",
+        "SERVE_1.5B_16slot_steady",
     ]
     assert order == [
         ("bench_streaming.py", ""),
         ("bench_serving.py", ""),
         ("bench_streaming.py", "sessions"),
+        ("bench_serving.py", "steady"),
     ]
     # every line the driver parses carries value+unit
     assert all("value" in l and "unit" in l for l in lines)
