@@ -340,6 +340,55 @@ def test_max_new_frames(params, presets):
     assert len(audio) // HOP <= 12 + 6
 
 
+@pytest.mark.slow
+def test_colocated_with_bulk_serving(params, presets):
+    """Co-located deployment (the `serve.py --rt_sessions N` / bench_colocate.py
+    shape): a bulk ServingEngine wave and an rt session run CONCURRENTLY in
+    one process. The session's audio must be exactly its solo run (separate
+    params + programs — co-location may add latency, never perturb outputs),
+    and every bulk request must complete (no cross-engine deadlock: both
+    engines dispatch to the same device from their own decode threads)."""
+    from vibevoice_tpu.configs import tiny_config
+    from vibevoice_tpu.models import inference as inf
+    from vibevoice_tpu.models import vibevoice as vv
+    from vibevoice_tpu.serving import Request, ServingEngine
+
+    p1, _ = presets
+    t = np.random.RandomState(40).randint(10, 200, (18,))
+    b = _bank(90, n_frames=200)
+    ref = _solo(params, p1, t, b, max_len=512)
+
+    bcfg = tiny_config()
+    btok = inf.SpecialTokens(speech_start=5, speech_end=6, speech_diffusion=7, eos=2)
+    bparams = vv.init(jax.random.PRNGKey(3), bcfg)
+    beng = ServingEngine(
+        bcfg, bparams, tokens=btok,
+        opts=inf.GenerateOptions(ddpm_steps=2, max_length=128),
+        max_batch=2, max_len=128,
+    )
+    seng = StreamingSessionEngine(
+        CFG, params, n_slots=1, max_len=512, opts=OPTS, inject=True
+    )
+    try:
+        bulk = []
+        for i in range(3):
+            ids = np.random.RandomState(100 + i).randint(10, 100, (1, 10)).astype(np.int64)
+            ids[0, -1] = btok.speech_start
+            bulk.append(beng.submit(Request(
+                input_ids=ids, valid_mask=np.ones((1, 10), bool), seed=i
+            )))
+        h = seng.submit(t, p1, noise_bank=b)
+        got = h.result(timeout=240)
+        bulk_audio = [hb.result(timeout=240) for hb in bulk]
+    finally:
+        seng.shutdown(drain=False)
+        beng.shutdown()
+
+    _assert_audio_match(got, ref)
+    for a in bulk_audio:
+        assert a.dtype == np.float32 and len(a) % HOP == 0
+
+
 def test_drain_shutdown(params, presets):
     p1, _ = presets
     eng = StreamingSessionEngine(
