@@ -88,7 +88,13 @@ def sessions_sweep():
     Prints one JSON line per N plus the headline: the max N where window p95
     fits the real-time budget AND TTFA p95 < 300 ms. The reference streaming
     model serves exactly ONE session per GPU (reference
-    modeling_vibevoice_streaming_inference.py:511)."""
+    modeling_vibevoice_streaming_inference.py:511).
+
+    Env: BENCH_SESSION_NS (slot counts), BENCH_SESSION_QUANTUM (admission
+    quantum, default 3), BENCH_SESSION_KV8=1 (int8 KV), BENCH_SESSION_VOICES=V
+    (V distinct presets round-robin — exercises the per-voice device-resident
+    preset cache at capacity; default 1), BENCH_SESSION_FRAMES,
+    BENCH_SESSION_SPACING_S."""
     from vibevoice_tpu.utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
@@ -112,6 +118,19 @@ def sessions_sweep():
     opts = GenerateOptions(cfg_scale=1.5, ddpm_steps=5, kv_int8=kv8)
     prompt = np.random.RandomState(0).randint(10, 1000, (1, 64))
     preset = st.build_voice_preset(cfg, params, prompt, neg_prompt_id=151655, max_len=2048)
+    # BENCH_SESSION_VOICES=V: V distinct voice presets (different prompt
+    # lengths), sessions assigned round-robin — exercises the per-voice
+    # device-resident preset cache + per-slot cache-length bookkeeping at
+    # capacity (the default single-voice sweep always hits one cache entry)
+    n_voices = int(os.environ.get("BENCH_SESSION_VOICES", "1"))
+    presets = [preset] + [
+        st.build_voice_preset(
+            cfg, params,
+            np.random.RandomState(100 + v).randint(10, 1000, (1, 48 + 16 * v)),
+            neg_prompt_id=151655, max_len=2048,
+        )
+        for v in range(1, n_voices)
+    ]
 
     quantum = int(os.environ.get("BENCH_SESSION_QUANTUM", "3"))
     budget_s = quantum * 3200 / 24000.0  # audio seconds produced per dispatch
@@ -134,11 +153,23 @@ def sessions_sweep():
             # (the serving-realistic number; an all-at-once burst instead
             # serializes N admit dispatches ahead of the first window and
             # reports the burst drain, not per-session latency)
+            # distinct-voice warm admits: first use of a voice pays its
+            # host->device preset transfer; the sweep measures steady-state
+            # (cache-hit) joins, like the single-voice path does
+            for p in presets[1:]:
+                eng.submit(rng.randint(10, 1000, (40,)), p, max_new_frames=6).result(
+                    timeout=900
+                )
+            eng.window_times.clear()
             handles = []
             n_frames = max(frames, n * 24)  # lifetimes must span the arrival ramp
-            for _ in range(n):
+            for i in range(n):
                 handles.append(
-                    eng.submit(rng.randint(10, 1000, (600,)), max_new_frames=n_frames)
+                    eng.submit(
+                        rng.randint(10, 1000, (600,)),
+                        presets[i % n_voices],
+                        max_new_frames=n_frames,
+                    )
                 )
                 time.sleep(float(os.environ.get("BENCH_SESSION_SPACING_S", "0.25")))
             for h in handles:
@@ -154,7 +185,8 @@ def sessions_sweep():
                               window_p95_ms=round(w_p95 * 1e3, 1),
                               ttfa_p50_ms=round(t_p50, 1), ttfa_p95_ms=round(t_p95, 1),
                               realtime=bool(rt_ok)))
-            print(json.dumps({"metric": f"streaming_sessions_n{n}" + ("_kv8" if kv8 else ""),
+            suffix = ("_kv8" if kv8 else "") + (f"_v{n_voices}" if n_voices > 1 else "")
+            print(json.dumps({"metric": f"streaming_sessions_n{n}" + suffix,
                               "value": round(w_p95 * 1e3, 1), "unit": "ms_window_p95",
                               "quantum_frames": quantum,
                               "budget_ms": round(budget_s * 1e3, 1),
@@ -166,7 +198,8 @@ def sessions_sweep():
         # "max sustained" is only meaningful over a sweep (the bench.py suite
         # records an 8,16,24 sweep); a single-point run reports just its point
         print(json.dumps({
-            "metric": "streaming_realtime_sessions_max",
+            "metric": "streaming_realtime_sessions_max"
+                      + (f"_v{n_voices}" if n_voices > 1 else ""),
             "value": headline,
             "unit": "concurrent_sessions_per_chip",
             # reference serves 1 session per device (batch-1 hard cap)
