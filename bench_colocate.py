@@ -17,6 +17,12 @@ shape at all (one model per process, batch-1 streaming:
 /root/reference/vibevoice/modular/modeling_vibevoice_streaming_inference.py:511).
 
 Env overrides:
+  COLO_CONFIG=7b     7B bulk engine (int8 inline-init + int8 KV; the 1.5B
+                     default otherwise). 7B K=8 dispatches are ~200 ms of
+                     device time — the head-of-line blocking the sessions
+                     must absorb; COLO_K trades bulk throughput for finer
+                     interleave granularity.
+  COLO_K=N           bulk frames per dispatch       (default 8)
   COLO_SLOTS=N       bulk engine slots              (default 4)
   COLO_REQS=N        bulk requests per phase        (default 3*slots)
   COLO_FRAMES=N      frames per bulk request        (default 256 ~ 34 s)
@@ -58,18 +64,29 @@ def main():
     n_sessions = int(os.environ.get("COLO_SESSIONS", "8"))
     s_frames = int(os.environ.get("COLO_SESSION_FRAMES", "180"))
     quantum = int(os.environ.get("COLO_QUANTUM", "3"))
-    k = 8
-    max_len = 4096
+    k = int(os.environ.get("COLO_K", "8"))
+    max_len = int(os.environ.get("COLO_MAX_LEN", "4096"))
+    model = os.environ.get("COLO_CONFIG", "1.5b")  # "1.5b" | "7b"
 
-    # ---- bulk engine: 1.5B int8, the serving default ----
-    cfg = VibeVoiceConfig.from_json_file(
-        os.path.join(here, "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json")
-    )
-    params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    params = vv.quantize_for_inference(params, components=("lm", "lm_head"))
+    # ---- bulk engine: int8, the serving default ----
+    kv_int8 = None
+    if model == "7b":
+        from bench import _load  # layer-by-layer inline int8 init (never bf16)
+
+        cfg, params = _load("qwen2.5_7b_32k.json", lm_int8_inline=True)
+        # bf16 KV is fine at <=4 slots/4K (the round-4b 20.9x config);
+        # COLO_KV_INT8=1 for higher slot counts (the 8-slot memory rule)
+        if os.environ.get("COLO_KV_INT8") == "1":
+            kv_int8 = True
+    else:
+        cfg = VibeVoiceConfig.from_json_file(
+            os.path.join(here, "vibevoice_tpu", "configs", "qwen2.5_1.5b_64k.json")
+        )
+        params = vv.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        params = vv.quantize_for_inference(params, components=("lm", "lm_head"))
     params = vv.fuse_for_serving(params, cfg, quantize=True)
     tokens = inf.SpecialTokens()
-    opts = inf.GenerateOptions(ddpm_steps=10, max_length=max_len)
+    opts = inf.GenerateOptions(ddpm_steps=10, max_length=max_len, kv_int8=kv_int8)
     eng = ServingEngine(
         cfg, params, tokens=tokens, opts=opts, max_batch=slots,
         max_len=max_len, frames_per_dispatch=k, pipeline=True,
@@ -173,7 +190,8 @@ def main():
 
     rt_ok = cw95 < budget_ms and ct95 < 300.0
     print(json.dumps({
-        "metric": f"colocated_sessions_n{n_sessions}_plus_{slots}slot_bulk",
+        "metric": f"colocated_sessions_n{n_sessions}_plus_{model}_{slots}slot_bulk"
+                  + (f"_k{k}" if k != 8 else ""),
         "value": round(cw95, 1), "unit": "ms_window_p95",
         "budget_ms": round(budget_ms, 1), "realtime": bool(rt_ok),
         "ttfa_p50_ms": round(ct50, 1), "ttfa_p95_ms": round(ct95, 1),
@@ -182,7 +200,8 @@ def main():
         "vs_baseline": float(n_sessions if rt_ok else 0),
     }))
     print(json.dumps({
-        "metric": f"colocated_serving_aggregate_{slots}slot",
+        "metric": f"colocated_serving_aggregate_{model}_{slots}slot"
+                  + (f"_k{k}" if k != 8 else ""),
         "value": round(bulk_rtf, 2), "unit": "audio-sec/wall-sec/chip",
         "vs_baseline": round(bulk_rtf / 5.0, 4),
         "solo_aggregate": round(bulk_rtf0, 2),
