@@ -13,7 +13,15 @@ vibevoice_tpu.serving.ServingEngine.
                     of the reference's streamer->Gradio path)
   POST /tts/rt      {"text": "...", "seed"?} -> chunked-transfer WAV from the
                     0.5B STREAMING model (lowest TTFA; bs1, serialized;
-                    enable with --streaming_model_path [+ --streaming_voice])
+                    enable with --streaming_model_path [+ --streaming_voice]).
+                    With --rt_sessions > 1 add {"live": true} for a LIVE
+                    session (LLM->TTS pipelines): the text stream stays open,
+                    the response carries an X-Session-Id header, and further
+                    text arrives on a second connection via
+  POST /tts/rt/append  {"session": sid, "text": "..."} (tokens append to the
+                    open stream; a session idling on EOS resumes) and
+  POST /tts/rt/end  {"session": sid} (close the stream; the session ends at
+                    its next EOS and the audio response terminates)
   POST /v1/audio/speech
                     OpenAI-compatible surface: {"model": ignored, "input":
                     "...", "voice"?: name, "response_format"?: "wav"|"pcm",
@@ -40,6 +48,7 @@ import re
 import struct
 import sys
 import threading
+import uuid
 
 import numpy as np
 
@@ -150,6 +159,7 @@ def build_server(args):
     voices_dir = args.voices_dir
     rt = _build_rt(args) if getattr(args, "streaming_model_path", None) else None
     rt_engine = None
+    live_rt = {}  # sid -> live StreamSessionHandle (X-Session-Id)
     if rt is not None and getattr(args, "rt_sessions", 1) > 1:
         # multi-session mode: N concurrent /tts/rt requests share ONE batched
         # device program (the reference caps streaming at batch 1 — this is
@@ -217,6 +227,9 @@ def build_server(args):
             self.wfile.write(body)
 
         def do_POST(self):
+            if self.path in ("/tts/rt/append", "/tts/rt/end"):
+                self._rt_live_control()
+                return
             if self.path not in ("/tts", "/tts/stream", "/tts/rt", "/v1/audio/speech"):
                 self.send_error(404)
                 return
@@ -253,6 +266,9 @@ def build_server(args):
                 deadline_s = float(req["deadline_s"]) if "deadline_s" in req else None
                 # latency lane (needs --reserved_slots > 0 to guarantee a slot)
                 priority = bool(req.get("priority", False))
+                # live session: text stream stays open (append via
+                # /tts/rt/append on a second connection); needs --rt_sessions
+                live = bool(req.get("live", False))
             except Exception as e:
                 if openai_compat:
                     self._json_error(400, f"bad request: {e}")
@@ -264,7 +280,10 @@ def build_server(args):
                 if rt is None:
                     self.send_error(404, "server started without --streaming_model_path")
                     return
-                self._rt_response(text, seed, priority=priority)
+                if live and rt_engine is None:
+                    self.send_error(400, "live sessions need --rt_sessions > 1")
+                    return
+                self._rt_response(text, seed, priority=priority, live=live)
                 return
 
             try:
@@ -324,23 +343,66 @@ def build_server(args):
             self.wfile.write(wav_header(SAMPLE_RATE, len(pcm) // 2))
             self.wfile.write(pcm)
 
-        def _rt_response(self, text: str, seed: int, priority: bool = False):
+        def _rt_live_control(self):
+            """POST /tts/rt/append {"session", "text"} and /tts/rt/end
+            {"session"}: the side-channel of a live session (the audio rides
+            the original /tts/rt chunked response; the X-Session-Id header
+            there names the session). Text is tokenized verbatim — the
+            client owns whitespace/segmentation of its LLM token stream."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                sid = str(req["session"])
+            except Exception as e:
+                self._json_error(400, f"bad request: {e}")
+                return
+            h = live_rt.get(sid)
+            if h is None:
+                self._json_error(404, f"unknown or ended live session {sid!r}")
+                return
+            try:
+                if self.path == "/tts/rt/append":
+                    ids = rt_engine.processor.tokenizer.encode(str(req["text"]))
+                    h.append_text(np.asarray(ids, np.int64))
+                    body = {"session": sid, "appended_tokens": len(ids)}
+                else:
+                    h.end_text()
+                    body = {"session": sid, "ended": True}
+            except Exception as e:  # append after end/done, tokenizer errors
+                self._json_error(409, str(e))
+                return
+            payload = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _rt_response(self, text: str, seed: int, priority: bool = False,
+                         live: bool = False):
             """Chunked-transfer WAV from the 0.5B streaming model, frames
             flushed as the window loop produces them — the lowest-TTFA
             serving surface. With --rt_sessions > 1, concurrent requests are
             batched into one device program (per-request seeds then feed the
             shared loop RNG, not a per-session stream); otherwise one request
             at a time (StreamingTTS serializes internally)."""
+            sid = None
             if rt_engine is not None:
-                handle = rt_engine.submit_text(text, priority=priority)
+                handle = rt_engine.submit_text(text, priority=priority, live=live)
                 it = handle.frames(timeout=args.request_timeout)
                 close = handle.cancel
+                if live:
+                    sid = uuid.uuid4().hex
+                    live_rt[sid] = handle
             else:
                 it = rt.stream(text, seed=seed, ddpm_steps=args.streaming_ddpm_steps)
                 close = it.close
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
+            if sid is not None:
+                # the live session's address for /tts/rt/append + /tts/rt/end
+                self.send_header("X-Session-Id", sid)
             self.end_headers()
             header = (
                 b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
@@ -361,6 +423,8 @@ def build_server(args):
 
                 traceback.print_exc()  # stream already committed; log + terminate
             finally:
+                if sid is not None:
+                    live_rt.pop(sid, None)  # appends after this 404
                 close()  # cancel() for the session engine, it.close() for bs1
             self.wfile.write(b"0\r\n\r\n")
             self.wfile.flush()

@@ -340,6 +340,110 @@ def test_max_new_frames(params, presets):
     assert len(audio) // HOP <= 12 + 6
 
 
+def test_live_session_full_text_matches_solo(params, presets):
+    """A live session whose text all arrives up front (submit + immediate
+    end_text) must reproduce the non-live run exactly — the live plumbing
+    (text lock, park bookkeeping) must not perturb the default path. Even if
+    the model's EOS races the end_text call, the parked slot retires with
+    the same frames a direct retire would have pushed."""
+    p1, _ = presets
+    t = np.random.RandomState(50).randint(10, 200, (11,))
+    b = _bank(80)
+    ref = _solo(params, p1, t, b)
+    eng = StreamingSessionEngine(
+        CFG, params, n_slots=2, max_len=256, opts=OPTS, inject=True
+    )
+    try:
+        h = eng.submit(t, p1, noise_bank=b, live=True)
+        h.end_text()
+        got = h.result(timeout=120)
+    finally:
+        eng.shutdown(drain=False)
+    _assert_audio_match(got, ref)
+
+
+def test_live_session_park_resume_on_append(params, presets):
+    """The LLM->TTS live loop: a session parks when the model's EOS fires
+    with the text stream open, resumes on append_text (producing more
+    audio), and ends normally after end_text. Tiny random weights EOS
+    within a frame or two, so the park happens fast."""
+    import time as _time
+
+    p1, _ = presets
+    eng = StreamingSessionEngine(
+        CFG, params, n_slots=1, max_len=512, opts=OPTS, inject=True
+    )
+    try:
+        h = eng.submit(
+            np.random.RandomState(51).randint(10, 200, (5,)), p1,
+            noise_bank=_bank(81, 300), live=True,
+        )
+        assert h.parked.wait(timeout=120), "session never parked on EOS"
+        frames_at_park = h.n_frames
+        assert frames_at_park >= 1  # EOS frame itself was delivered
+        st_snap = eng.stats()
+        assert st_snap["parked"] == 1 and st_snap["active"] == 1
+
+        h.append_text(np.random.RandomState(52).randint(10, 200, (9,)))
+        deadline = _time.monotonic() + 120
+        while h.n_frames <= frames_at_park and _time.monotonic() < deadline:
+            if h.parked.wait(timeout=0.5) and h.n_frames > frames_at_park:
+                break
+        assert h.n_frames > frames_at_park, "no audio after append_text"
+
+        h.end_text()
+        got = h.result(timeout=120)
+        assert h.done.is_set() and h.error is None
+        assert len(got) == h.n_frames * HOP
+        assert h.rec["outcome"] == "completed"
+    finally:
+        eng.shutdown(drain=False)
+
+
+def test_live_session_append_validation(params, presets):
+    p1, _ = presets
+    eng = StreamingSessionEngine(
+        CFG, params, n_slots=1, max_len=256, opts=OPTS, inject=True
+    )
+    try:
+        h0 = eng.submit(
+            np.random.RandomState(53).randint(10, 200, (4,)), p1, noise_bank=_bank(82)
+        )
+        with pytest.raises(RuntimeError, match="non-live"):
+            h0.append_text(np.array([1, 2]))
+        h0.result(timeout=120)
+
+        h1 = eng.submit(
+            np.random.RandomState(54).randint(10, 200, (4,)), p1,
+            noise_bank=_bank(83), live=True,
+        )
+        h1.end_text()
+        with pytest.raises(RuntimeError, match="end_text"):
+            h1.append_text(np.array([1, 2]))
+        h1.result(timeout=120)
+    finally:
+        eng.shutdown(drain=False)
+
+
+def test_live_session_drain_closes_stream(params, presets):
+    """shutdown(drain=True) implicitly end_text()s live sessions: a parked
+    session retires promptly instead of holding the drain to its timeout."""
+    p1, _ = presets
+    eng = StreamingSessionEngine(
+        CFG, params, n_slots=1, max_len=512, opts=OPTS, inject=True
+    )
+    h = eng.submit(
+        np.random.RandomState(55).randint(10, 200, (5,)), p1,
+        noise_bank=_bank(84, 300), live=True,
+    )
+    assert h.parked.wait(timeout=120)
+    t0 = __import__("time").monotonic()
+    eng.shutdown(drain=True, timeout=60)
+    assert __import__("time").monotonic() - t0 < 30
+    assert h.done.is_set() and h.error is None
+    assert h.rec["outcome"] == "completed"
+
+
 @pytest.mark.slow
 def test_colocated_with_bulk_serving(params, presets):
     """Co-located deployment (the `serve.py --rt_sessions N` / bench_colocate.py
@@ -475,6 +579,104 @@ def test_http_concurrent_rt_streams():
         rt_st = st_body["rt_sessions"]
         assert rt_st["n_slots"] == 2 and rt_st["submitted"] >= 2
         assert rt_st["windows_run"] >= 1
+    finally:
+        server.shutdown()
+        server.engine.shutdown()
+        server.rt_engine.shutdown(drain=False)
+
+
+@pytest.mark.slow
+def test_http_live_session_append_end():
+    """POST /tts/rt {"live": true}: the LLM->TTS HTTP surface. The audio
+    response carries X-Session-Id; /tts/rt/append feeds more text on a second
+    connection (resuming a session parked on EOS, visible via /stats
+    "parked"); /tts/rt/end closes the stream and the chunked response
+    terminates; appends after the stream closed 404."""
+    import http.client
+    import json
+    import threading
+    import time as _time
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from demo.serve import build_server
+
+    class A:
+        model_path = None
+        host = "127.0.0.1"
+        port = 0
+        max_batch = 2
+        max_len = 96
+        cfg_scale = 1.3
+        ddpm_steps = 2
+        int8 = False
+        kv_int8 = False
+        voices_dir = "/nonexistent"
+        request_timeout = 300.0
+        verbose = False
+        warmup = False
+        warmup_tokens = 8
+        speech_bucket_s = 0.0
+        streaming_model_path = "smoke"
+        streaming_voice = None
+        streaming_max_len = 512
+        streaming_ddpm_steps = 2
+        rt_sessions = 2
+
+    server = build_server(A)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post_json(path, payload, timeout=60):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+        conn.request("POST", path, json.dumps(payload).encode(),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        return r.status, body
+
+    def parked_count():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        conn.close()
+        return st["rt_sessions"]["parked"]
+
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/tts/rt",
+                     json.dumps({"text": "hello there", "live": True}).encode(),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        sid = r.getheader("X-Session-Id")
+        assert sid, "live response must carry X-Session-Id"
+        wav_box = {}
+        reader = threading.Thread(target=lambda: wav_box.update(wav=r.read()),
+                                  daemon=True)
+        reader.start()
+
+        deadline = _time.monotonic() + 120
+        while parked_count() == 0 and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        assert parked_count() == 1, "live session never parked on EOS"
+
+        status, body = post_json("/tts/rt/append",
+                                 {"session": sid, "text": "and some more words"})
+        assert status == 200 and json.loads(body)["appended_tokens"] > 0
+
+        status, body = post_json("/tts/rt/end", {"session": sid})
+        assert status == 200 and json.loads(body)["ended"] is True
+
+        reader.join(timeout=120)
+        assert not reader.is_alive(), "audio stream did not terminate after end"
+        wav = wav_box["wav"]
+        assert wav[:4] == b"RIFF" and len(wav) > 44
+        conn.close()
+
+        status, _ = post_json("/tts/rt/append", {"session": sid, "text": "x"})
+        assert status == 404  # the session is gone once its stream closed
     finally:
         server.shutdown()
         server.engine.shutdown()

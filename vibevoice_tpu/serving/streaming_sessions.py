@@ -48,11 +48,23 @@ class StreamSessionHandle:
     loop produces them; `frames()` iterates them, `result()` concatenates."""
 
     def __init__(self, text_ids: np.ndarray, admit_kwargs: Dict, *,
-                 noise_bank=None, max_new_frames: Optional[int] = None):
+                 noise_bank=None, max_new_frames: Optional[int] = None,
+                 live: bool = False):
         self.text_ids = np.asarray(text_ids, np.int64).reshape(-1)
         self.admit_kwargs = admit_kwargs
         self.noise_bank = noise_bank
         self.max_new_frames = max_new_frames
+        # live session (LLM->TTS pipelines): the text stream stays OPEN —
+        # more tokens may arrive via append_text() while audio streams out.
+        # When the model's EOS fires with the stream still open, the slot
+        # PARKS (keeps its caches, stops stepping) instead of retiring, and
+        # resumes on the next append; end_text() closes the stream so the
+        # next EOS (or an EOS already parked on) ends the session normally.
+        self.live = live
+        self.text_open = live
+        self.parked = threading.Event()  # observability: EOS hit, awaiting text
+        self._text_lock = threading.Lock()
+        self._engine = None  # set by engine.submit: append wakes the loop
         self.q: "queue.Queue" = queue.Queue()
         self.done = threading.Event()
         self.cancelled = threading.Event()
@@ -90,6 +102,35 @@ class StreamSessionHandle:
     def cancel(self) -> None:
         self.cancelled.set()
 
+    def append_text(self, ids: np.ndarray) -> None:
+        """Live sessions only: append tokens to the open text stream. The
+        engine feeds them at the slot's next 5-token text window; a session
+        parked on EOS resumes. Raises on non-live / closed / ended sessions."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        with self._text_lock:
+            if not self.live:
+                raise RuntimeError("append_text on a non-live session "
+                                   "(submit with live=True)")
+            if not self.text_open:
+                raise RuntimeError("append_text after end_text")
+            if self.done.is_set():
+                raise RuntimeError("session has already ended")
+            self.text_ids = np.concatenate([self.text_ids, ids])
+        eng = self._engine
+        if eng is not None:  # wake a loop idling on all-parked slots
+            with eng._cv:
+                eng._cv.notify_all()
+
+    def end_text(self) -> None:
+        """Close a live session's text stream: no more appends; the session
+        ends at its next model EOS (immediately, if it is already parked)."""
+        with self._text_lock:
+            self.text_open = False
+        eng = self._engine
+        if eng is not None:
+            with eng._cv:
+                eng._cv.notify_all()
+
     @property
     def ttfa_ms(self) -> Optional[float]:
         if self.first_audio_t is None:
@@ -125,6 +166,7 @@ class _Slot:
     max_steps: int = 0
     frame_counter: int = 0  # noise-bank rows consumed (inject mode)
     cycle_pos: int = 0  # frames into the current 6-frame speech window
+    parked: bool = False  # live session: EOS hit with text stream open
 
 
 class StreamingSessionEngine:
@@ -251,6 +293,7 @@ class StreamingSessionEngine:
         noise_bank=None,
         max_new_frames: Optional[int] = None,
         priority: bool = False,
+        live: bool = False,
     ) -> StreamSessionHandle:
         if self._draining or not self._running:
             raise RuntimeError("engine is draining")
@@ -261,8 +304,10 @@ class StreamingSessionEngine:
             raise ValueError("inject engine: every submit needs a noise_bank")
         admit_kwargs, tts_len = self._device_preset(preset)
         h = StreamSessionHandle(
-            text_ids, admit_kwargs, noise_bank=noise_bank, max_new_frames=max_new_frames
+            text_ids, admit_kwargs, noise_bank=noise_bank,
+            max_new_frames=max_new_frames, live=live,
         )
+        h._engine = self
         h.priority = priority
         with self._recs_lock:
             self._recs.append(h.rec)
@@ -387,6 +432,33 @@ class StreamingSessionEngine:
                 if not occupied:
                     continue
 
+                # ---- live sessions: unpark a slot whose text stream grew
+                # (it resumes with a fresh text window below), retire one
+                # whose stream closed while parked (its EOS already fired)
+                for b in list(occupied):
+                    slot = self.slots[b]
+                    if not slot.parked:
+                        continue
+                    h = slot.handle
+                    with h._text_lock:
+                        has_text = slot.text_pos < h.text_ids.size
+                        open_ = h.text_open
+                    if has_text:
+                        slot.parked = False
+                        h.parked.clear()
+                    elif not open_:
+                        self._retire(b)
+                occupied = [b for b in range(self.n_slots) if self.slots[b] is not None]
+                stepping = [b for b in occupied if not self.slots[b].parked]
+                if not stepping:
+                    # every resident session is parked awaiting text: idle
+                    # (append_text/end_text notify the cv) instead of
+                    # dispatching an all-inactive quantum
+                    with self._cv:
+                        if self.pending.empty():
+                            self._cv.wait(timeout=self._idle_poll_s)
+                    continue
+
                 # ---- text window: only slots STARTING a 5-text/6-speech
                 # window this quantum (cycle_pos 0 — freshly admitted or just
                 # wrapped); other rows are all-invalid no-ops. Per-slot
@@ -395,11 +467,12 @@ class StreamingSessionEngine:
                 ids = np.zeros((self.n_slots, TEXT_W), np.int32)
                 valid = np.zeros((self.n_slots, TEXT_W), bool)
                 any_text = False
-                for b in occupied:
+                for b in stepping:
                     slot = self.slots[b]
                     if slot.cycle_pos != 0:
                         continue
-                    rem = slot.handle.text_ids[slot.text_pos : slot.text_pos + TEXT_W]
+                    with slot.handle._text_lock:  # live appends grow text_ids
+                        rem = slot.handle.text_ids[slot.text_pos : slot.text_pos + TEXT_W]
                     if rem.size:
                         ids[b, : rem.size] = rem
                         valid[b, : rem.size] = True
@@ -411,13 +484,14 @@ class StreamingSessionEngine:
                         self.params, self._state, jnp.asarray(ids), jnp.asarray(valid)
                     )
 
-                # ---- speech quantum
+                # ---- speech quantum (parked rows stay inactive: their
+                # caches hold, their noise-bank cursor does not advance)
                 active = np.zeros((self.n_slots,), bool)
-                for b in occupied:
+                for b in stepping:
                     active[b] = True
                 self._key, sk = jax.random.split(self._key)
                 if self.inject:
-                    noise = self._gather_noise(occupied)
+                    noise = self._gather_noise(stepping)
                     self._state, audio, eos = self._speech_fn(
                         self.params, self._state, sk, jnp.asarray(active), noise
                     )
@@ -425,7 +499,7 @@ class StreamingSessionEngine:
                     self._state, audio, eos = self._speech_fn(
                         self.params, self._state, sk, jnp.asarray(active)
                     )
-                for b in occupied:
+                for b in stepping:
                     slot = self.slots[b]
                     slot.steps += self.quantum
                     slot.frame_counter += self.quantum
@@ -448,7 +522,7 @@ class StreamingSessionEngine:
                     del self.window_times[:1024]
 
                 # ---- route frames / EOS per slot
-                for b in occupied:
+                for b in stepping:
                     slot = self.slots[b]
                     if slot is None or slot.handle.cancelled.is_set():
                         continue
@@ -461,8 +535,27 @@ class StreamingSessionEngine:
                     for f in range(keep):
                         slot.handle._push(audio_np[f, b, :, 0])
                     if hit.size:
-                        self._retire(b)
-            # drain epilogue: anything still queued is refused
+                        h = slot.handle
+                        with h._text_lock:
+                            live_open = h.live and h.text_open
+                        if live_open:
+                            # EOS with the text stream still open: PARK —
+                            # keep the slot + caches, stop stepping, resume
+                            # on the next append_text (end_text retires it)
+                            slot.parked = True
+                            slot.cycle_pos = 0
+                            h.parked.set()
+                        else:
+                            self._retire(b)
+            # drain epilogue: anything still queued is refused; any session
+            # still resident (e.g. a PARKED live session at shutdown) is
+            # failed loudly rather than hanging its waiter forever
+            for b in range(self.n_slots):
+                if self.slots[b] is not None:
+                    self.slots[b].handle._finish(
+                        RuntimeError("engine shut down while the session was live")
+                    )
+                    self.slots[b] = None
             while True:
                 try:
                     self.pending.get_nowait()[2]._finish(
@@ -529,6 +622,8 @@ class StreamingSessionEngine:
             "n_slots": self.n_slots,
             "quantum_frames": self.quantum,
             "active": self.active_sessions(),
+            # live sessions idling on EOS, awaiting append_text
+            "parked": sum(1 for s in self.slots if s is not None and s.parked),
             "queued": self.pending.qsize(),
             "submitted": len(recs),
             "completed": sum(r["outcome"] == "completed" for r in recs),
@@ -546,6 +641,12 @@ class StreamingSessionEngine:
     def shutdown(self, drain: bool = True, timeout: float = 120.0) -> None:
         self._draining = True
         if drain:
+            # graceful-drain a live session: close its text stream so a
+            # parked slot retires now and a speaking one ends at its next
+            # EOS, instead of holding the drain open for the full timeout
+            for s in list(self.slots):
+                if s is not None and s.handle.live:
+                    s.handle.end_text()
             deadline = time.monotonic() + timeout
             while time.monotonic() < deadline:
                 if self.active_sessions() == 0 and self.pending.empty():
